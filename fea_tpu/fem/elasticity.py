@@ -1,0 +1,77 @@
+"""2D linear elasticity: constitutive matrices and P1 element stiffness.
+
+Matches sfepy's `stiffness_from_youngpoisson(dim=2, ...)` defaults (plane
+strain), used by the reference for every material region
+(fea_analysis.py:257-266).
+"""
+
+import jax.numpy as jnp
+
+
+def plane_strain_stiffness(young, poisson):
+    """Plane-strain D (..., 3, 3) from Young's modulus / Poisson ratio.
+
+    D = [[lam+2mu, lam, 0], [lam, lam+2mu, 0], [0, 0, mu]] with the
+    engineering-shear Voigt convention (exx, eyy, 2*exy).
+    """
+    young = jnp.asarray(young)
+    poisson = jnp.asarray(poisson)
+    lam = young * poisson / ((1.0 + poisson) * (1.0 - 2.0 * poisson))
+    mu = young / (2.0 * (1.0 + poisson))
+    zeros = jnp.zeros_like(lam)
+    row0 = jnp.stack([lam + 2 * mu, lam, zeros], axis=-1)
+    row1 = jnp.stack([lam, lam + 2 * mu, zeros], axis=-1)
+    row2 = jnp.stack([zeros, zeros, mu], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def plane_stress_stiffness(young, poisson):
+    """Plane-stress variant (sfepy's plane='stress' option)."""
+    young = jnp.asarray(young)
+    poisson = jnp.asarray(poisson)
+    c = young / (1.0 - poisson**2)
+    zeros = jnp.zeros_like(c)
+    row0 = jnp.stack([c, c * poisson, zeros], axis=-1)
+    row1 = jnp.stack([c * poisson, c, zeros], axis=-1)
+    row2 = jnp.stack([zeros, zeros, c * (1 - poisson) / 2], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def triangle_geometry(coords, triangles):
+    """Per-element B-matrix ingredients for P1 triangles.
+
+    Returns (B (M,3,6), area (M,)). B maps the 6 nodal dofs
+    (ux0, uy0, ux1, uy1, ux2, uy2) to Voigt strain (exx, eyy, 2exy).
+    """
+    p = coords[triangles]  # (M, 3, 2)
+    x = p[..., 0]
+    y = p[..., 1]
+    # Shape-function gradient coefficients.
+    b = jnp.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=-1)
+    c = jnp.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=-1)
+    area2 = x[:, 0] * b[:, 0] + x[:, 1] * b[:, 1] + x[:, 2] * b[:, 2]  # 2*area
+    area = 0.5 * area2
+    inv = 1.0 / area2[:, None]
+    bn = b * inv  # dN/dx
+    cn = c * inv  # dN/dy
+    zeros = jnp.zeros_like(bn)
+    # Rows: exx from ux via dN/dx; eyy from uy via dN/dy; 2exy mixes both.
+    row_xx = jnp.stack([bn[:, 0], zeros[:, 0], bn[:, 1], zeros[:, 1], bn[:, 2], zeros[:, 2]], axis=-1)
+    row_yy = jnp.stack([zeros[:, 0], cn[:, 0], zeros[:, 1], cn[:, 1], zeros[:, 2], cn[:, 2]], axis=-1)
+    row_xy = jnp.stack([cn[:, 0], bn[:, 0], cn[:, 1], bn[:, 1], cn[:, 2], bn[:, 2]], axis=-1)
+    B = jnp.stack([row_xx, row_yy, row_xy], axis=-2)
+    return B, area
+
+
+def element_stiffness(coords, triangles, D):
+    """Per-element 6x6 stiffness Ke = area * B^T D B.
+
+    D: (3,3) shared or (M,3,3) per element.
+    Returns (Ke (M,6,6), B (M,3,6), area (M,)).
+    """
+    B, area = triangle_geometry(coords, triangles)
+    if D.ndim == 2:
+        D = jnp.broadcast_to(D, (B.shape[0], 3, 3))
+    DB = jnp.einsum("mij,mjk->mik", D, B)
+    Ke = jnp.einsum("mji,mjk->mik", B, DB) * area[:, None, None]
+    return Ke, B, area
