@@ -1,0 +1,287 @@
+"""Command-line entry points: `python -m fea_tpu <command>`.
+
+Mirrors the reference's four scripts + application workflow
+(generate_data.py, train_model.py, sample_model.py, calculate_accuracy.py,
+test_nbs/generateapplication.ipynb) as subcommands of one CLI.
+"""
+
+import argparse
+import os
+import sys
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache: datagen compiles one kernel per mesh
+    bucket; caching makes reruns and restarts cheap (and tolerates the
+    remote-compile tunnel being slow)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "FEA_TPU_JAX_CACHE", os.path.expanduser("~/.cache/fea_tpu_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def _add_generate(sub):
+    p = sub.add_parser("generate", help="Generate the FEA dataset.")
+    p.add_argument("--num_plates", type=int, default=1)
+    p.add_argument("--start_plate", type=int, default=None)
+    p.add_argument("--conditions_per_plate", type=int, default=4)
+    p.add_argument("--steps_per_condition", type=int, default=11)
+    p.add_argument("--mesh_size", type=float, default=1e-2)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--save_meshes", action="store_true")
+    p.add_argument("--save_displacement", action="store_true")
+    p.add_argument("--save_strain", action="store_true")
+    p.add_argument("--save_stress", action="store_true")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--batched", action="store_true",
+                   help="vmapped multi-plate TPU solve path")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default=None)
+    return p
+
+
+def _cmd_generate(args):
+    assert (
+        args.save_displacement or args.save_strain or args.save_stress
+    ), "Must save at least one of displacement, strain, or stress."
+
+    wandb_fn = None
+    if args.use_wandb:
+        import wandb
+
+        assert args.wandb_project is not None, "Must specify wandb project name."
+        wandb.init(project=args.wandb_project)
+
+        def wandb_fn(plate_index, total_time, remaining):
+            wandb.log(
+                {
+                    "plate_index": plate_index,
+                    "total_time": total_time,
+                    "remaining": remaining,
+                }
+            )
+
+    if args.batched:
+        from .datagen.batched import generate_data_batched
+
+        generate_data_batched(
+            data_dir=args.data_dir,
+            image_size=args.image_size,
+            num_plates=args.num_plates,
+            conditions_per_plate=args.conditions_per_plate,
+            mesh_size=args.mesh_size,
+            save_displacement=args.save_displacement,
+            save_strain=args.save_strain,
+            save_stress=args.save_stress,
+            num_steps_per_condition=args.steps_per_condition,
+            save_meshes=args.save_meshes,
+            seed=args.seed,
+            batch_size=args.batch_size,
+        )
+        return
+
+    from .datagen import generate_data
+
+    generate_data(
+        data_dir=args.data_dir,
+        image_size=args.image_size,
+        num_plates=args.num_plates,
+        start_plate=args.start_plate,
+        conditions_per_plate=args.conditions_per_plate,
+        mesh_size=args.mesh_size,
+        save_displacement=args.save_displacement,
+        save_strain=args.save_strain,
+        save_stress=args.save_stress,
+        num_steps_per_condition=args.steps_per_condition,
+        save_meshes=args.save_meshes,
+        seed=args.seed,
+        wandb_inject_function=wandb_fn,
+    )
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="Train the FDN-UNet surrogate.")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--sample_data_dir", type=str, default="sample_data")
+    p.add_argument("--num_steps_per_condition", type=int, default=6)
+    p.add_argument("--num_steps_per_sample_condition", type=int, default=6)
+    p.add_argument("--num_sample_conditions_per_plate", type=int, default=1)
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--num_steps", type=int, default=10000)
+    p.add_argument("--num_steps_per_milestone", type=int, default=500)
+    p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--loss_type", type=str, default="l1", choices=["l1", "l2"])
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--disable_auxiliary", action="store_true", default=None)
+    p.add_argument("--only_auxiliary", action="store_true")
+    p.add_argument("--use_ema_model", action="store_true")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default=None)
+    return p
+
+
+def _cmd_train(args):
+    from .train.trainer import Trainer, TrainerConfig
+
+    config = TrainerConfig(
+        dataset_folder=args.data_dir,
+        sample_dataset_folder=args.sample_data_dir,
+        dataset_image_size=args.image_size,
+        train_batch_size=args.batch_size,
+        num_gradient_accumulation_steps=args.num_gradient_accumulation_steps,
+        num_train_steps=args.num_steps,
+        num_steps_per_milestone=args.num_steps_per_milestone,
+        train_learning_rate=args.learning_rate,
+        loss_type=args.loss_type,
+        num_steps_per_condition=args.num_steps_per_condition,
+        num_steps_per_sample_condition=args.num_steps_per_sample_condition,
+        num_sample_conditions_per_plate=args.num_sample_conditions_per_plate,
+        results_folder=args.results_dir,
+        disable_auxiliary=(
+            True if args.disable_auxiliary is None else args.disable_auxiliary
+        ),
+        only_auxiliary=args.only_auxiliary,
+        use_ema=args.use_ema_model,
+    )
+    trainer = Trainer(config)
+    if args.checkpoint is not None:
+        trainer.load_checkpoint(args.checkpoint)
+
+    wandb_fn = None
+    if args.use_wandb:
+        import wandb
+
+        assert args.wandb_project is not None, "Must specify wandb project name."
+        wandb.init(project=args.wandb_project)
+        wandb.define_metric("step")
+        wandb.define_metric("train_loss", step_metric="step")
+        wandb.define_metric("sample_loss", step_metric="step")
+
+        def wandb_fn(step, loss, sample_loss, image_filenames, ranges, milestone):
+            log = {"step": step, "train_loss": loss}
+            if sample_loss is not None:
+                log["sample_loss"] = sample_loss
+            if image_filenames:
+                log["samples"] = [wandb.Image(f) for f in image_filenames]
+            wandb.log(log)
+
+    trainer.train(wandb_inject_function=wandb_fn)
+
+
+def _add_sample(sub):
+    p = sub.add_parser("sample", help="Sample a trained model over a dataset.")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--sample_data_dir", type=str, default="sample_data")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--milestone", type=str, required=True)
+    p.add_argument("--num_steps_per_condition", type=int, default=6)
+    p.add_argument("--num_sample_conditions_per_plate", type=int, default=1)
+    return p
+
+
+def _cmd_sample(args):
+    from .train.trainer import Trainer, TrainerConfig
+
+    config = TrainerConfig(
+        dataset_folder=args.data_dir,
+        sample_dataset_folder=args.sample_data_dir,
+        dataset_image_size=args.image_size,
+        train_batch_size=args.batch_size,
+        num_steps_per_condition=args.num_steps_per_condition,
+        num_steps_per_sample_condition=args.num_steps_per_condition,
+        num_sample_conditions_per_plate=args.num_sample_conditions_per_plate,
+        results_folder=args.results_dir,
+        skip_dataset_size_check=True,
+    )
+    trainer = Trainer(config)
+    trainer.load_checkpoint(args.milestone)
+    trainer.sample_and_save(milestone=args.milestone, progress_bar=True)
+
+
+def _add_accuracy(sub):
+    p = sub.add_parser("accuracy", help="Displacement accuracy vs ground truth.")
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--milestone", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_plates", type=int, default=1)
+    p.add_argument("--conditions_per_plate", type=int, default=4)
+    p.add_argument("--steps_per_condition", type=int, default=6)
+    p.add_argument("--per_step", action="store_true")
+    return p
+
+
+def _cmd_accuracy(args):
+    from .metrics.accuracy import calculate_accuracy, calculate_accuracy_per_step
+
+    fn = calculate_accuracy_per_step if args.per_step else calculate_accuracy
+    out = fn(
+        data_dir=args.data_dir,
+        results_dir=args.results_dir,
+        milestone=args.milestone,
+        image_size=args.image_size,
+        num_plates=args.num_plates,
+        conditions_per_plate=args.conditions_per_plate,
+        steps_per_condition=args.steps_per_condition,
+    )
+    print(out)
+
+
+def _add_app(sub):
+    p = sub.add_parser("app", help="Run an application problem end to end.")
+    p.add_argument("name", choices=["cantilever", "gusset", "shearblade", "composite"])
+    p.add_argument("--output_dir", type=str, default="app_output")
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Trained checkpoint for surrogate prediction + metrics")
+    return p
+
+
+def _cmd_app(args):
+    from .apps.runner import run_application
+
+    run_application(
+        args.name,
+        output_dir=args.output_dir,
+        image_size=args.image_size,
+        checkpoint=args.checkpoint,
+    )
+
+
+def main(argv=None):
+    _enable_compilation_cache()
+    parser = argparse.ArgumentParser(
+        prog="fea_tpu", description="TPU-native FEA + surrogate framework."
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_generate(sub)
+    _add_train(sub)
+    _add_sample(sub)
+    _add_accuracy(sub)
+    _add_app(sub)
+    args = parser.parse_args(argv)
+    {
+        "generate": _cmd_generate,
+        "train": _cmd_train,
+        "sample": _cmd_sample,
+        "accuracy": _cmd_accuracy,
+        "app": _cmd_app,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    main()

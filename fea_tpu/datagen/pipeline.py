@@ -1,0 +1,283 @@
+"""Datagen orchestrator: random plates -> meshes -> FEM solves -> images.
+
+The TPU-era replacement for the reference's generate loop
+(datagen/generate.py:12-171): same on-disk contract, but
+  * meshing via the native CDT library instead of gmsh,
+  * one PCG solve per condition (linear => per-step fields are scaled
+    copies) instead of n_step sparse LU factorizations,
+  * one pixel map per plate feeding every image instead of a VTK render
+    per image,
+  * failure handling preserved: solver failure -> clear dir + resample
+    condition; degenerate geometry -> redraw plate.
+"""
+
+import os
+from timeit import default_timer as timer
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..fem import StaticProblem
+from ..geometry import GeometryError, GeometrySampler
+from ..mesh import Mesh, MeshError, triangulate_polygon, write_vtk
+from ..raster import (
+    build_pixel_map,
+    field_image,
+    geometry_image,
+    node_splat_image,
+    outline_image,
+    region_image,
+    scalar_range,
+)
+from ..raster.rasterizer import cell_field_image
+from .conditions import ConditionSampler
+from .writers import (
+    append_region_value,
+    clear_directory,
+    domain_vtk_name,
+    save_gray_png,
+    verify_directory,
+)
+
+
+def _write_condition(
+    mesh: Mesh,
+    pixel_map,
+    condition: Dict,
+    result,
+    condition_dir: str,
+    num_steps: int,
+    save_displacement: bool,
+    save_strain: bool,
+    save_stress: bool,
+    save_meshes: bool,
+) -> None:
+    coords, tris = mesh.coords, mesh.triangles
+
+    # magnitudes.txt + force-region images (reference fea_analysis.py:76-124)
+    mag_path = os.path.join(condition_dir, "magnitudes.txt")
+    for i, (v, (fx, fy)) in enumerate(condition["point_forces"]):
+        append_region_value(mag_path, f"VertexForce{i}", (fx, fy))
+        save_gray_png(
+            os.path.join(condition_dir, f"regions_VertexForce{i}.png"),
+            node_splat_image(pixel_map, coords, np.array([v])),
+        )
+    for i, (edge, (fx, fy)) in enumerate(condition["edge_forces"]):
+        nodes = mesh.nodes_on_edge(edge)
+        k = max(len(nodes), 1)
+        append_region_value(mag_path, f"EdgeForce{i}", (fx / k, fy / k))
+        save_gray_png(
+            os.path.join(condition_dir, f"regions_EdgeForce{i}.png"),
+            node_splat_image(pixel_map, coords, nodes),
+        )
+
+    # constraint-region images
+    for i, v in enumerate(condition["point_constraints"]):
+        save_gray_png(
+            os.path.join(condition_dir, f"regions_VertexConstraint{i}.png"),
+            node_splat_image(pixel_map, coords, np.array([v])),
+        )
+    for i, edge in enumerate(condition["edge_constraints"]):
+        save_gray_png(
+            os.path.join(condition_dir, f"regions_EdgeConstraint{i}.png"),
+            node_splat_image(pixel_map, coords, mesh.nodes_on_edge(edge)),
+        )
+
+    # materials.txt + material-region images
+    mat_path = os.path.join(condition_dir, "materials.txt")
+    for i, ((young, poisson), node_ids) in enumerate(condition["material_regions"]):
+        append_region_value(
+            mat_path, f"MaterialRegion{i}", (float(young), float(poisson))
+        )
+        save_gray_png(
+            os.path.join(condition_dir, f"regions_MaterialRegion{i}.png"),
+            region_image(pixel_map, tris, node_ids, mesh.num_nodes),
+        )
+
+    # outputs + ranges.txt (step-1 image only; per-step ranges recorded —
+    # reference fea_analysis.py:560-609)
+    u = np.asarray(result.displacements)  # (num_steps, N, 2)
+    strain = np.asarray(result.strain)
+    stress = np.asarray(result.stress)
+    field_config: List[Tuple[str, np.ndarray, bool]] = []
+    if save_displacement:
+        field_config += [
+            ("displacement_x", u[..., 0], True),
+            ("displacement_y", u[..., 1], True),
+        ]
+    if save_stress:
+        field_config += [
+            ("stress_x", stress[..., 0], False),
+            ("stress_y", stress[..., 1], False),
+        ]
+    if save_strain:
+        field_config += [
+            ("strain_x", strain[..., 0], False),
+            ("strain_y", strain[..., 1], False),
+        ]
+
+    ranges_path = os.path.join(condition_dir, "ranges.txt")
+    for step in range(1, num_steps):
+        for name, data, nodal in field_config:
+            lo, hi = scalar_range(data[step])
+            append_region_value(ranges_path, f"{name}_{step}", (lo, hi))
+            if step == 1:
+                img = (
+                    field_image(pixel_map, tris, data[step], (lo, hi))
+                    if nodal
+                    else cell_field_image(pixel_map, data[step], (lo, hi))
+                )
+                save_gray_png(
+                    os.path.join(condition_dir, f"outputs_{name}.png"), img
+                )
+
+    if save_meshes:
+        for step in range(num_steps):
+            write_vtk(
+                os.path.join(condition_dir, domain_vtk_name(step, num_steps)),
+                coords,
+                tris,
+                point_data={"u": u[step]},
+                cell_data={
+                    "cauchy_strain": strain[step],
+                    "cauchy_stress": stress[step],
+                },
+            )
+
+
+def generate_data(
+    data_dir: str = "data/",
+    image_size: int = 512,
+    num_plates: int = 1,
+    start_plate: Optional[int] = None,
+    conditions_per_plate: int = 4,
+    mesh_size: float = 1e-2,
+    num_polygons_range: Tuple[int, int] = (1, 3),
+    points_per_polygon_range: Tuple[int, int] = (3, 8),
+    holes_per_polygon_range: Tuple[int, int] = (0, 3),
+    points_per_hole_range: Tuple[int, int] = (3, 4),
+    num_regions: Tuple[int, int] = (1, 5),
+    save_displacement: bool = True,
+    save_strain: bool = False,
+    save_stress: bool = False,
+    num_steps_per_condition: int = 11,
+    save_meshes: bool = False,
+    seed: Optional[int] = None,
+    solver_tol: Optional[float] = None,
+    solver_max_iters: int = 20000,
+    max_condition_retries: int = 20,
+    wandb_inject_function: Optional[Callable] = None,
+    verbose: bool = True,
+) -> Dict:
+    """Sequential single-host datagen (the vmapped batch path lives in
+    fea_tpu.datagen.batched). Returns summary stats."""
+    assert num_steps_per_condition > 1, "Must have at least 2 steps per condition."
+    verify_directory(data_dir)
+
+    geometry_sampler = GeometrySampler(
+        num_polygons_range=num_polygons_range,
+        points_per_polygon_range=points_per_polygon_range,
+        holes_per_polygon_range=holes_per_polygon_range,
+        points_per_hole_range=points_per_hole_range,
+        random_seed=seed,
+    )
+    condition_sampler = ConditionSampler(
+        num_regions_range=num_regions,
+        random_seed=None if seed is None else seed + 1,
+    )
+
+    assert num_plates >= 1 and conditions_per_plate >= 1
+    plate_index = (start_plate - 1) if start_plate is not None else 0
+    total_time = 0.0
+    solves = 0
+    failures = 0
+
+    while plate_index < num_plates:
+        try:
+            polygon = geometry_sampler.generate()
+            mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
+        except (GeometryError, MeshError):
+            continue
+
+        conditions = condition_sampler.sample(mesh, conditions_per_plate)
+        pixel_map = build_pixel_map(mesh.coords, mesh.triangles, image_size)
+
+        plate_dir = os.path.join(data_dir, str(plate_index + 1))
+        verify_directory(plate_dir)
+
+        # plate-level images (reference writes these on the first condition)
+        save_gray_png(
+            os.path.join(plate_dir, "outline.png"),
+            outline_image(pixel_map, mesh.coords, mesh.ring_corner_ids),
+        )
+        save_gray_png(
+            os.path.join(plate_dir, "input.png"), geometry_image(pixel_map)
+        )
+
+        condition_index = 0
+        retries = 0
+        while condition_index < len(conditions):
+            condition = conditions[condition_index]
+            condition_dir = os.path.join(plate_dir, str(condition_index + 1))
+            verify_directory(condition_dir)
+
+            problem = StaticProblem.from_condition(
+                mesh,
+                material_regions=condition["material_regions"],
+                point_constraints=condition["point_constraints"],
+                edge_constraints=condition["edge_constraints"],
+                point_forces=condition["point_forces"],
+                edge_forces=condition["edge_forces"],
+                num_steps=num_steps_per_condition,
+            )
+            start = timer()
+            result = problem.solve(tol=solver_tol, max_iters=solver_max_iters)
+            elapsed = timer() - start
+            solves += 1
+
+            if not result.success:
+                failures += 1
+                if verbose:
+                    print(
+                        f"Failed to calculate for plate {plate_index + 1} "
+                        f"condition {condition_index + 1}; regenerating condition"
+                    )
+                clear_directory(condition_dir)
+                retries += 1
+                if retries > max_condition_retries:
+                    raise RuntimeError("too many condition failures on one plate")
+                conditions[condition_index] = condition_sampler.sample_one(mesh)
+                continue
+
+            total_time += elapsed
+            if verbose:
+                print("TIME:", elapsed)
+
+            _write_condition(
+                mesh,
+                pixel_map,
+                condition,
+                result,
+                condition_dir,
+                num_steps_per_condition,
+                save_displacement,
+                save_strain,
+                save_stress,
+                save_meshes,
+            )
+            condition_index += 1
+
+        if wandb_inject_function is not None:
+            wandb_inject_function(plate_index, total_time, None)
+        plate_index += 1
+        if verbose:
+            print("PLATE TIME:", total_time)
+
+    if verbose:
+        print("TOTAL TIME:", total_time)
+    return {
+        "plates": num_plates,
+        "solves": solves,
+        "failures": failures,
+        "total_solve_time": total_time,
+    }

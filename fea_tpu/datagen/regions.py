@@ -1,0 +1,102 @@
+"""Material-region clustering of mesh nodes.
+
+Re-implements the reference's sklearn clustering (mesh_generator.py:319-385)
+without sklearn: a seeded NumPy k-means and a SciPy hierarchical
+agglomerative path (complete/average/ward linkages, subsampled above a
+node cap for tractability). The k-means path clusters nodes into 5-20
+fine clusters, then clusters the cluster centers into the final 1-5
+regions. (The reference reshapes the 2D centers to scalars before the
+second k-means — a bug we fix by clustering centers as 2D points; the
+downstream contract, a full partition of nodes into contiguous-ish
+regions, is unchanged.)
+"""
+
+import random
+from typing import List
+
+import numpy as np
+
+
+def _kmeans(points: np.ndarray, k: int, rng: np.random.Generator, iters: int = 25):
+    """Plain Lloyd k-means with k-means++ seeding. Returns (labels, centers)."""
+    n = len(points)
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [points[rng.integers(n)]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((points - centers[-1]) ** 2).sum(axis=1))
+        total = d2.sum()
+        if total <= 0:
+            centers.append(points[rng.integers(n)])
+            continue
+        centers.append(points[rng.choice(n, p=d2 / total)])
+    centers = np.array(centers)
+
+    labels = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        dists = ((points[:, None, :] - centers[None]) ** 2).sum(-1)
+        new_labels = dists.argmin(axis=1)
+        if (new_labels == labels).all() and _ > 0:
+            break
+        labels = new_labels
+        for j in range(k):
+            mask = labels == j
+            if mask.any():
+                centers[j] = points[mask].mean(axis=0)
+    return labels, centers
+
+
+def _regions_with_kmeans(
+    coords: np.ndarray, num_regions: int, rng: np.random.Generator, py_random
+) -> List[np.ndarray]:
+    num_clusters = py_random.randint(5, 20)
+    labels, centers = _kmeans(coords, num_clusters, rng)
+    center_labels, _ = _kmeans(centers, num_regions, rng)
+    node_region = center_labels[labels]
+    return [np.where(node_region == r)[0] for r in range(num_regions)]
+
+
+def _regions_with_agglomerative(
+    coords: np.ndarray,
+    num_regions: int,
+    linkage_method: str,
+    rng: np.random.Generator,
+    max_exact: int = 2500,
+) -> List[np.ndarray]:
+    from scipy.cluster.hierarchy import fcluster, linkage
+
+    n = len(coords)
+    if n > max_exact:
+        sample = rng.choice(n, size=max_exact, replace=False)
+    else:
+        sample = np.arange(n)
+    Z = linkage(coords[sample], method=linkage_method)
+    sample_labels = fcluster(Z, t=num_regions, criterion="maxclust") - 1
+    if n > max_exact:
+        # assign remaining nodes to the nearest labeled sample node
+        rest = np.setdiff1d(np.arange(n), sample)
+        d = ((coords[rest][:, None, :] - coords[sample][None]) ** 2).sum(-1)
+        labels = np.empty(n, dtype=np.int64)
+        labels[sample] = sample_labels
+        labels[rest] = sample_labels[d.argmin(axis=1)]
+    else:
+        labels = sample_labels
+    return [np.where(labels == r)[0] for r in range(num_regions)]
+
+
+def cluster_regions(
+    coords: np.ndarray,
+    num_regions_range=(1, 5),
+    py_random: random.Random = None,
+) -> List[np.ndarray]:
+    """Partition nodes into material regions (list of node-index arrays;
+    empty regions possible, as with the reference's k-means)."""
+    py_random = py_random or random.Random()
+    rng = np.random.default_rng(py_random.getrandbits(32))
+    num_regions = py_random.randint(*num_regions_range)
+    method = py_random.choice(["kmeans", "agglomerative"])
+    if method == "kmeans" or len(coords) < 2:
+        return _regions_with_kmeans(coords, num_regions, rng, py_random)
+    link = py_random.choice(["complete", "average", "ward"])
+    return _regions_with_agglomerative(coords, num_regions, link, rng)

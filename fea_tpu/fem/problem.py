@@ -120,13 +120,21 @@ class StaticProblem:
 
     def solve(
         self,
-        tol: float = 1e-10,
+        tol: Optional[float] = None,
         max_iters: int = 20000,
         dtype=jnp.float64,
+        accept_tol: float = 1e-4,
     ) -> SolveResult:
+        """`tol` defaults by dtype: 1e-10 (f64) / 1e-6 (f32, the dtype's
+        attainable floor). `accept_tol` is the success threshold on the true
+        relative residual — looser than `tol`, because the reference only
+        rejects solves that go NaN (fea_analysis.py:455-461), not ones that
+        merely stop short of machine precision."""
         dtype = jnp.dtype(dtype)
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             dtype = jnp.dtype(jnp.float32)
+        if tol is None:
+            tol = 1e-10 if dtype == jnp.float64 else 1e-6
         incidence = build_incidence(self.triangles, len(self.coords))
         res = _solve_kernel(
             jnp.asarray(self.coords, dtype),
@@ -139,11 +147,12 @@ class StaticProblem:
             num_steps=self.num_steps,
             tol=tol,
             max_iters=max_iters,
+            accept_tol=accept_tol,
         )
         return res
 
 
-@partial(jax.jit, static_argnames=("num_steps", "tol", "max_iters"))
+@partial(jax.jit, static_argnames=("num_steps", "tol", "max_iters", "accept_tol"))
 def _solve_kernel(
     coords,
     triangles,
@@ -156,6 +165,7 @@ def _solve_kernel(
     num_steps: int,
     tol: float,
     max_iters: int,
+    accept_tol: float = 1e-4,
 ) -> SolveResult:
     dtype = coords.dtype
     D = plane_strain_stiffness(young, poisson)
@@ -164,7 +174,9 @@ def _solve_kernel(
     free = free_nodes[:, None].repeat(2, axis=1)
 
     op = partial(apply_element_stiffness, Ke, triangles, incidence_slots)
-    res = pcg_solve(op, loads, diag, free, tol=tol, max_iters=max_iters)
+    res = pcg_solve(
+        op, loads, diag, free, tol=tol, max_iters=max_iters, accept_tol=accept_tol
+    )
 
     t = jnp.linspace(0.0, 1.0, num_steps).astype(dtype)
     u_steps = t[:, None, None] * res.x[None]

@@ -72,6 +72,25 @@ def field_image(
     return np.asarray(jnp.round(img).astype(jnp.uint8))
 
 
+def cell_field_image(
+    pixel_map: PixelMap,
+    cell_values: np.ndarray,
+    value_range: Optional[Tuple[float, float]] = None,
+) -> np.ndarray:
+    """uint8 image of a per-cell (el_avg) field — flat shading per triangle,
+    as VTK renders cell data (the reference's cauchy_strain/stress images)."""
+    vals = np.asarray(cell_values, dtype=np.float64)
+    lo, hi = value_range if value_range is not None else scalar_range(vals)
+    span = hi - lo
+    field = vals[np.clip(pixel_map.tri_idx, 0, None)]
+    if abs(span) < 1e-30:
+        normalized = np.ones_like(field)
+    else:
+        normalized = np.clip((field - lo) / span, 0.0, 1.0)
+    gray = (1.0 - normalized) * 255.0
+    return np.where(pixel_map.inside, np.round(gray), 255).astype(np.uint8)
+
+
 def geometry_image(pixel_map: PixelMap) -> np.ndarray:
     """Solid geometry render (input.png): black inside, white outside."""
     return np.where(pixel_map.inside, 0, 255).astype(np.uint8)

@@ -1,0 +1,118 @@
+import os
+
+import numpy as np
+import pytest
+
+from fea_tpu.datagen import ConditionSampler, cluster_regions, generate_data
+from fea_tpu.mesh import read_vtk, triangulate
+
+UNIT_SQUARE = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+
+
+def test_cluster_regions_partition():
+    import random
+
+    coords = np.random.default_rng(0).random((500, 2))
+    for seed in range(5):
+        regions = cluster_regions(coords, (1, 5), random.Random(seed))
+        total = sum(len(r) for r in regions)
+        assert total == 500
+        all_ids = np.concatenate([r for r in regions if len(r)])
+        assert len(np.unique(all_ids)) == 500
+
+
+def test_condition_sampler_contract():
+    mesh = triangulate(UNIT_SQUARE, mesh_size=0.2)
+    sampler = ConditionSampler(random_seed=0)
+    conditions = sampler.sample(mesh, num_conditions=4)
+    assert len(conditions) == 4
+    for c in conditions:
+        # at least one force
+        assert len(c["point_forces"]) + len(c["edge_forces"]) >= 1
+        # at least one constrained edge
+        assert len(c["edge_constraints"]) >= 1
+        # magnitudes in +-1..1000
+        for _, (fx, fy) in c["point_forces"] + c["edge_forces"]:
+            assert 1 <= abs(fx) <= 1000 and 1 <= abs(fy) <= 1000
+        # material regions cover all nodes exactly
+        total = sum(len(r) for _, r in c["material_regions"])
+        assert total == mesh.num_nodes
+        # distinct materials
+        mats = [m for m, _ in c["material_regions"]]
+        assert len(set(mats)) == len(mats)
+        # constrained/force entities are disjoint
+        constrained = set(c["point_constraints"])
+        for e in c["edge_constraints"]:
+            constrained.update(e)
+        for v, _ in c["point_forces"]:
+            assert v not in constrained
+
+    # determinism
+    sampler2 = ConditionSampler(random_seed=0)
+    conditions2 = sampler2.sample(mesh, num_conditions=4)
+    assert [c["point_constraints"] for c in conditions] == [
+        c["point_constraints"] for c in conditions2
+    ]
+
+
+def test_generate_data_end_to_end(tmp_path):
+    """Minimum end-to-end slice: one plate, two conditions, files in the
+    reference's on-disk layout (SURVEY.md §1)."""
+    data_dir = str(tmp_path / "data")
+    stats = generate_data(
+        data_dir=data_dir,
+        image_size=96,
+        num_plates=1,
+        conditions_per_plate=2,
+        mesh_size=0.06,
+        holes_per_polygon_range=(0, 1),
+        num_steps_per_condition=3,
+        save_meshes=True,
+        seed=123,
+        verbose=False,
+    )
+    assert stats["plates"] == 1
+
+    plate = os.path.join(data_dir, "1")
+    assert os.path.isfile(os.path.join(plate, "input.png"))
+    assert os.path.isfile(os.path.join(plate, "outline.png"))
+
+    for cond in ("1", "2"):
+        cdir = os.path.join(plate, cond)
+        files = os.listdir(cdir)
+        assert "magnitudes.txt" in files
+        assert "materials.txt" in files
+        assert "ranges.txt" in files
+        assert "outputs_displacement_x.png" in files
+        assert "outputs_displacement_y.png" in files
+        assert any(f.startswith("regions_MaterialRegion") for f in files)
+        assert any("Constraint" in f for f in files)
+        # per-step ground-truth meshes
+        for step in range(3):
+            assert f"domain.{step}.vtk" in files
+
+        # magnitudes.txt format parses with eval (the dataset contract)
+        with open(os.path.join(cdir, "magnitudes.txt")) as f:
+            for line in f.readlines():
+                name, value = line.strip().split(":")
+                v = eval(value)
+                assert len(v) == 2
+                assert name.startswith(("VertexForce", "EdgeForce"))
+
+        # ranges.txt: (num_steps-1) * 2 displacement lines, x then y
+        with open(os.path.join(cdir, "ranges.txt")) as f:
+            lines = [l.strip().split(":") for l in f.readlines()]
+        assert len(lines) == 2 * 2
+        assert lines[0][0] == "displacement_x_1"
+        assert lines[1][0] == "displacement_y_1"
+        assert lines[2][0] == "displacement_x_2"
+
+        # per-step VTK displacements scale linearly: u(step2) = 2*u(step1)
+        u1 = read_vtk(os.path.join(cdir, "domain.1.vtk"))["u"]
+        u2 = read_vtk(os.path.join(cdir, "domain.2.vtk"))["u"]
+        np.testing.assert_allclose(u2, 2.0 * u1, rtol=1e-6, atol=1e-12)
+
+        # ranges match the VTK extremes
+        lo, hi = eval(lines[0][1])
+        assert lo == pytest.approx(u1[:, 0].min(), rel=1e-6, abs=1e-12)
+        assert hi == pytest.approx(u1[:, 0].max(), rel=1e-6, abs=1e-12)
