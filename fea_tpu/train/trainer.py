@@ -1,0 +1,531 @@
+"""Training runtime for the FDN-UNet surrogate.
+
+The reference Trainer (model/diffusion.py:418-1128) drives three torch
+modules with separate Adam optimizers under HF Accelerate DDP. Here the
+whole step — grad accumulation (lax.scan), per-module clip-by-global-norm
+1.0, three Adam chains, EMA — is one jitted SPMD program over a 'dp'
+device mesh; gradients all-reduce via the psum XLA inserts for the
+sharded batch axis.
+
+Semantics preserved:
+  * summed mean-L1/L2 losses over the active heads (diffusion.py:722-751)
+  * geometry masking of the image prediction (diffusion.py:816-820)
+  * disable_auxiliary / only_auxiliary gating (diffusion.py:464-469)
+  * effective-batch >= 16 and dataset-size >= 100 guards
+  * milestone / soft-milestone loop with best/latest(+prev) checkpoint
+    rotation and 'final' save (diffusion.py:1080-1127)
+  * resume with deterministic data skip-ahead (O(1) — see EpochSampler)
+  * results/train-e{steps}-b{batch}-lr{lr}-{ts}.log logging
+"""
+
+import logging
+import os
+import shutil
+import zipfile
+from dataclasses import dataclass, field
+from datetime import datetime
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from PIL import Image
+
+from ..data.dataset import EpochSampler, FEADataset, collate
+from ..models import create_models
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .ema import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    params: Dict[str, Any]
+    opt_states: Dict[str, Any]
+    ema_params: Optional[Dict[str, Any]]
+    step: jnp.ndarray
+    lowest_sample_loss: jnp.ndarray
+
+
+@dataclass
+class TrainerConfig:
+    dataset_folder: str = "data"
+    sample_dataset_folder: str = "sample_data"
+    disable_auxiliary: bool = True
+    only_auxiliary: bool = False
+    dataset_image_size: int = 256
+    train_batch_size: int = 16
+    sample_batch_size: Optional[int] = None
+    train_start_plate_index: int = 1
+    sample_start_plate_index: int = 1
+    conditions_per_plate: int = 4
+    num_sample_conditions_per_plate: int = 1
+    num_steps_per_condition: int = 6
+    num_steps_per_sample_condition: int = 6
+    num_gradient_accumulation_steps: int = 1
+    train_learning_rate: float = 1e-4
+    num_train_steps: int = 1000
+    num_steps_per_milestone: int = 250
+    num_steps_per_soft_milestone: int = 50
+    adam_betas: Tuple[float, float] = (0.9, 0.99)
+    max_gradient_norm: float = 1.0
+    loss_type: str = "l1"
+    use_ema: bool = False
+    ema_decay: float = 0.995
+    results_folder: str = "results"
+    input_dim: int = 64
+    num_stages: int = 4
+    num_channels: int = 2  # displacement / materials channels
+    num_auxiliary_condition_channels: int = 3  # forces (2) + constraints (1)
+    seed: int = 0
+    n_devices: Optional[int] = None
+    skip_dataset_size_check: bool = False
+    param_dtype: Any = jnp.float32
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig):
+        assert not (config.disable_auxiliary and config.only_auxiliary), (
+            "Cannot disable and only use auxiliary"
+        )
+        assert config.num_steps_per_condition >= 2
+        assert config.num_steps_per_sample_condition >= 2
+        assert (
+            config.train_batch_size * config.num_gradient_accumulation_steps >= 16
+        ), "effective batch size (batch x grad accum) must be at least 16"
+        assert config.loss_type in ("l1", "l2")
+        self.config = config
+
+        self.mesh = make_mesh(config.n_devices)
+        self.n_devices = self.mesh.devices.size
+        assert config.train_batch_size % self.n_devices == 0, (
+            f"batch size {config.train_batch_size} must divide over "
+            f"{self.n_devices} devices"
+        )
+
+        # Datasets
+        self.dataset = FEADataset(
+            config.dataset_folder,
+            image_size=config.dataset_image_size,
+            conditions_per_plate=config.conditions_per_plate,
+            num_steps=config.num_steps_per_condition,
+            start_plate_index=config.train_start_plate_index,
+        )
+        self.sample_dataset = FEADataset(
+            config.sample_dataset_folder,
+            image_size=config.dataset_image_size,
+            conditions_per_plate=config.num_sample_conditions_per_plate,
+            num_steps=config.num_steps_per_sample_condition,
+            start_plate_index=config.sample_start_plate_index,
+        )
+        if not config.skip_dataset_size_check:
+            assert len(self.dataset) >= 100, (
+                "you should have at least 100 samples; 10k+ recommended"
+            )
+        self.sampler = EpochSampler(len(self.dataset), seed=config.seed)
+        self.sample_batch_size = (
+            config.sample_batch_size
+            if config.sample_batch_size is not None
+            else config.train_batch_size
+        )
+
+        # Models
+        S = config.dataset_image_size
+        self.encoder, self.decoder, self.auxiliary = create_models(
+            input_dim=config.input_dim,
+            image_height=S,
+            image_width=S,
+            num_stages=config.num_stages,
+            num_channels=config.num_channels,
+            num_auxiliary_condition_channels=config.num_auxiliary_condition_channels,
+        )
+
+        self.results_folder = Path(config.results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        log_name = "train-e{}-b{}-lr{}-{}.log".format(
+            config.num_train_steps,
+            config.train_batch_size,
+            str(config.train_learning_rate)[2:],
+            datetime.now().strftime("%Y-%m-%d-%H-%M-%S"),
+        )
+        logging.basicConfig(
+            filename=str(self.results_folder / log_name),
+            level=logging.INFO,
+            format="%(asctime)s %(message)s",
+            force=True,
+        )
+
+        # Optimizers: clip-by-global-norm 1.0 then Adam, one chain per module.
+        def make_opt():
+            return optax.chain(
+                optax.clip_by_global_norm(config.max_gradient_norm),
+                optax.adam(
+                    config.train_learning_rate,
+                    b1=config.adam_betas[0],
+                    b2=config.adam_betas[1],
+                ),
+            )
+
+        self.optimizers = {k: make_opt() for k in ("encoder", "decoder", "auxiliary")}
+        self.state = self._init_state()
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------ init
+    def _init_state(self) -> TrainState:
+        cfg = self.config
+        S = cfg.dataset_image_size
+        rng = jax.random.PRNGKey(cfg.seed)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        materials = jnp.zeros((1, S, S, cfg.num_channels), cfg.param_dtype)
+        conditions = jnp.zeros(
+            (1, S, S, cfg.num_auxiliary_condition_channels), cfg.param_dtype
+        )
+        enc_vars = self.encoder.init(k1, materials, conditions)
+        x, hidden, residual = self.encoder.apply(enc_vars, materials, conditions)
+        dec_vars = self.decoder.init(k2, x, list(hidden), residual)
+        aux_vars = self.auxiliary.init(k3, x)
+        params = {
+            "encoder": enc_vars["params"],
+            "decoder": dec_vars["params"],
+            "auxiliary": aux_vars["params"],
+        }
+        opt_states = {
+            k: self.optimizers[k].init(params[k]) for k in self.optimizers
+        }
+        ema = jax.tree.map(jnp.copy, params) if cfg.use_ema else None
+        state = TrainState(
+            params=params,
+            opt_states=opt_states,
+            ema_params=ema,
+            step=jnp.zeros((), jnp.int32),
+            lowest_sample_loss=jnp.asarray(jnp.inf, jnp.float32),
+        )
+        return replicate(self.mesh, state)
+
+    def num_params(self) -> Dict[str, int]:
+        return {
+            k: sum(x.size for x in jax.tree.leaves(v))
+            for k, v in self.state.params.items()
+        }
+
+    # ------------------------------------------------------------ model fns
+    def _apply_model(self, params, batch, use_ema: bool = False):
+        """encoder -> (aux heads, decoder) with geometry masking
+        (reference sample_model, diffusion.py:786-822)."""
+        cfg = self.config
+        conditions = jnp.concatenate(
+            [batch["forces"], batch["constraints"]], axis=-1
+        )
+        x, hidden, residual = self.encoder.apply(
+            {"params": params["encoder"]}, batch["materials"], conditions
+        )
+        image_prediction = None
+        range_prediction = None
+        if not cfg.disable_auxiliary:
+            range_prediction = self.auxiliary.apply(
+                {"params": params["auxiliary"]}, x
+            )
+        if not cfg.only_auxiliary:
+            image_prediction = self.decoder.apply(
+                {"params": params["decoder"]}, x, list(hidden), residual
+            )
+            geometry01 = (batch["geometry"] + 1.0) / 2.0
+            image_prediction = ((image_prediction + 1.0) / 2.0 * geometry01) * 2.0 - 1.0
+        return image_prediction, range_prediction
+
+    def _loss(self, params, batch):
+        cfg = self.config
+        image_pred, range_pred = self._apply_model(params, batch)
+
+        def head_loss(pred, target):
+            if cfg.loss_type == "l1":
+                return jnp.mean(jnp.abs(pred - target))
+            return jnp.mean((pred - target) ** 2)
+
+        loss = 0.0
+        if image_pred is not None:
+            loss = loss + head_loss(image_pred, batch["displacement"])
+        if range_pred is not None:
+            sign_pred, log_pred = range_pred
+            loss = loss + head_loss(sign_pred, batch["sign_displacement_range"])
+            loss = loss + head_loss(log_pred, batch["log_displacement_range"])
+        return loss
+
+    # ---------------------------------------------------------- train step
+    def _build_train_step(self):
+        cfg = self.config
+        optimizers = self.optimizers
+
+        def train_step(state: TrainState, batch):
+            # batch leaves: (accum, micro, ...)
+            def accum_body(carry, micro):
+                grads_acc, loss_acc = carry
+                loss, grads = jax.value_and_grad(self._loss)(state.params, micro)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                accum_body, (zero_grads, 0.0), batch
+            )
+            accum = cfg.num_gradient_accumulation_steps
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+
+            new_params = dict(state.params)
+            new_opt_states = dict(state.opt_states)
+            active = {"encoder": True,
+                      "decoder": not cfg.only_auxiliary,
+                      "auxiliary": not cfg.disable_auxiliary}
+            for key, opt in optimizers.items():
+                if not active[key]:
+                    continue
+                updates, new_opt = opt.update(
+                    grads[key], state.opt_states[key], state.params[key]
+                )
+                new_params[key] = optax.apply_updates(state.params[key], updates)
+                new_opt_states[key] = new_opt
+
+            ema = state.ema_params
+            if ema is not None:
+                ema = ema_update(ema, new_params, cfg.ema_decay)
+
+            return (
+                state.replace(
+                    params=new_params,
+                    opt_states=new_opt_states,
+                    ema_params=ema,
+                    step=state.step + 1,
+                ),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_step(state: TrainState, batch, use_ema: bool):
+            params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+            image_pred, range_pred = self._apply_model(params, batch)
+            loss = self._loss(params, batch)
+            return image_pred, range_pred, loss
+
+        return jax.jit(eval_step, static_argnums=(2,))
+
+    # ------------------------------------------------------------- batches
+    def _fetch_batch(self, global_offset: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        count = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
+        idx = self.sampler.indices_at(global_offset, count)
+        samples = [self.dataset[int(i)] for i in idx]
+        batch = collate(samples)
+        accum = cfg.num_gradient_accumulation_steps
+        batch = {
+            k: v.reshape((accum, cfg.train_batch_size) + v.shape[1:])
+            for k, v in batch.items()
+        }
+        return shard_batch(self.mesh, batch, leading_unsharded=1)
+
+    # ------------------------------------------------------------ main loop
+    def train(self, wandb_inject_function: Optional[Callable] = None):
+        cfg = self.config
+        effective = len(self.dataset) / max(
+            cfg.train_batch_size * cfg.num_gradient_accumulation_steps, 1
+        )
+        print(f"Epoch Size: {effective} effective batches")
+        if effective:
+            print(
+                "Number of Effective Epochs: "
+                f"{cfg.num_train_steps / effective}"
+            )
+
+        while int(self.state.step) < cfg.num_train_steps:
+            step = int(self.state.step)
+            offset = (
+                step * cfg.train_batch_size * cfg.num_gradient_accumulation_steps
+            )
+            batch = self._fetch_batch(offset)
+            self.state, loss = self._train_step(self.state, batch)
+            loss = float(loss)
+            logging.info(f"step: {step}, loss: {loss:.4f}")
+
+            new_step = step + 1
+            total_sample_loss = None
+            image_filenames = None
+            ranges = None
+            milestone = None
+            if new_step % cfg.num_steps_per_milestone == 0:
+                image_filenames, ranges, total_sample_loss = self.sample_and_save()
+                logging.info(f"sample loss: {total_sample_loss:.4f}")
+                if total_sample_loss < float(self.state.lowest_sample_loss):
+                    self.state = self.state.replace(
+                        lowest_sample_loss=jnp.asarray(
+                            total_sample_loss, jnp.float32
+                        )
+                    )
+                    milestone = "best"
+                else:
+                    milestone = "latest"
+                self.save_checkpoint(milestone)
+            elif new_step % cfg.num_steps_per_soft_milestone == 0:
+                _, _, total_sample_loss = self.sample_and_save(save=False)
+                logging.info(f"sample loss: {total_sample_loss:.4f}")
+
+            if wandb_inject_function is not None:
+                wandb_inject_function(
+                    new_step, loss, total_sample_loss, image_filenames, ranges,
+                    milestone,
+                )
+
+        self.save_checkpoint("final")
+        print("Training done!")
+
+    # ------------------------------------------------------------ sampling
+    @staticmethod
+    def _view_friendly(image: np.ndarray) -> np.ndarray:
+        """[-1,1] -> 'Greys' colormap pixels: high value -> dark
+        (reference create_view_friendly_image + plt Greys, diffusion.py:774,963)."""
+        v01 = np.clip((image + 1.0) / 2.0, 0.0, 1.0)
+        return np.round((1.0 - v01) * 255.0).astype(np.uint8)
+
+    @staticmethod
+    def _view_friendly_range(sign_out: np.ndarray, log_out: np.ndarray):
+        sign = (sign_out < 0.5).astype(np.int32) * 2 - 1
+        return sign * (np.exp(log_out) - 1.0)
+
+    def sample_and_save(
+        self,
+        milestone=None,
+        save: bool = True,
+        progress_bar: bool = False,
+        use_ema: bool = False,
+    ):
+        cfg = self.config
+        n = len(self.sample_dataset)
+        bs = self.sample_batch_size
+        num_conditions = self.sample_dataset.conditions_per_plate_geometry
+        num_steps = self.sample_dataset.num_steps
+
+        image_filenames: List[str] = []
+        all_ranges: List[np.ndarray] = []
+        total_loss = 0.0
+        num_batches = 0
+
+        for start in range(0, n, bs):
+            idx = list(range(start, min(start + bs, n)))
+            # static batch shape: pad by repeating the last sample
+            pad = bs - len(idx)
+            samples = [self.sample_dataset[i] for i in idx + [idx[-1]] * pad]
+            batch = shard_batch(self.mesh, collate(samples))
+            image_pred, range_pred, loss = self._eval_step(
+                self.state, batch, use_ema
+            )
+            total_loss += float(loss)
+            num_batches += 1
+            if not save:
+                continue
+
+            image_pred = None if image_pred is None else np.asarray(image_pred)
+            for j, sample_index in enumerate(idx):
+                plate = sample_index // (num_conditions * num_steps) + 1
+                condition = (
+                    sample_index % (num_conditions * num_steps)
+                ) // num_steps + 1
+                step = (sample_index % (num_conditions * num_steps)) % num_steps + 1
+                if milestone is not None:
+                    pathname = (
+                        self.results_folder / f"{milestone}" / f"{plate}" / f"{condition}"
+                    )
+                else:
+                    pathname = self.results_folder / f"{plate}" / f"{condition}"
+                pathname.mkdir(parents=True, exist_ok=True)
+
+                if image_pred is not None:
+                    for channel, axis in ((0, "x"), (1, "y")):
+                        img = self._view_friendly(image_pred[j, :, :, channel])
+                        fname = str(pathname / f"sample_{axis}_{step}.png")
+                        Image.fromarray(img).save(fname)
+                        image_filenames.append(fname)
+                if range_pred is not None:
+                    sign_out = np.asarray(range_pred[0][j])
+                    log_out = np.asarray(range_pred[1][j])
+                    rng_val = self._view_friendly_range(sign_out, log_out)
+                    all_ranges.append(rng_val)
+                    for axis in ("x", "y"):
+                        np.savetxt(
+                            str(pathname / f"sample_{axis}_{step}.txt"), rng_val
+                        )
+
+        if num_batches:
+            total_loss /= num_batches
+        return (
+            image_filenames if (image_filenames and save) else None,
+            all_ranges if all_ranges else None,
+            total_loss,
+        )
+
+    # --------------------------------------------------------- checkpoints
+    def _ckpt_dir(self, milestone) -> Path:
+        return self.results_folder / f"model-{milestone}"
+
+    def save_checkpoint(self, milestone):
+        import orbax.checkpoint as ocp
+
+        if milestone == "latest":
+            # rotate latest -> latest-prev (reference diffusion.py:647-668)
+            prev_dir = self._ckpt_dir("latest-prev")
+            prev_zip = self.results_folder / "model-latest-prev.zip"
+            for p in (prev_dir, prev_zip):
+                if p.exists():
+                    shutil.rmtree(p) if p.is_dir() else p.unlink()
+            cur_dir = self._ckpt_dir("latest")
+            cur_zip = self.results_folder / "model-latest.zip"
+            if cur_dir.exists():
+                cur_dir.rename(prev_dir)
+            if cur_zip.exists():
+                cur_zip.rename(prev_zip)
+        else:
+            self.delete_checkpoint_if_exists(milestone)
+
+        path = self._ckpt_dir(milestone).absolute()
+        state = jax.device_get(self.state)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, state)
+
+        # zip artifact alongside the directory (reference zips + deletes the
+        # dir, diffusion.py:623-631; we keep the dir for fast resume and add
+        # the zip for artifact upload parity)
+        zip_path = self.results_folder / f"model-{milestone}.zip"
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for file in path.rglob("*"):
+                if file.is_file():
+                    zf.write(file, arcname=file.relative_to(self.results_folder))
+
+    def delete_checkpoint_if_exists(self, milestone):
+        path = self._ckpt_dir(milestone)
+        if path.exists():
+            shutil.rmtree(path)
+        zip_path = self.results_folder / f"model-{milestone}.zip"
+        if zip_path.exists():
+            zip_path.unlink()
+
+    def unzip_checkpoint(self, milestone):
+        with zipfile.ZipFile(
+            self.results_folder / f"model-{milestone}.zip", "r"
+        ) as zf:
+            zf.extractall(self.results_folder)
+
+    def load_checkpoint(self, milestone):
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir(milestone)
+        if not path.exists() and (
+            self.results_folder / f"model-{milestone}.zip"
+        ).exists():
+            self.unzip_checkpoint(milestone)
+        template = jax.device_get(self.state)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(path.absolute(), item=template)
+        self.state = replicate(self.mesh, restored)

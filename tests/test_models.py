@@ -1,0 +1,139 @@
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fea_tpu.models import FDNUNet, UNet, create_models
+
+REFERENCE = "/root/reference"
+
+
+def _init_trio(S=32, B=2):
+    enc, dec, aux = create_models(
+        input_dim=64,
+        image_height=S,
+        image_width=S,
+        num_channels=2,
+        num_auxiliary_condition_channels=3,
+        num_stages=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    materials = jnp.zeros((B, S, S, 2), jnp.float32)
+    conditions = jnp.zeros((B, S, S, 3), jnp.float32)
+    ev = enc.init(rng, materials, conditions)
+    x, hidden, residual = enc.apply(ev, materials, conditions)
+    dv = dec.init(rng, x, list(hidden), residual)
+    av = aux.init(rng, x)
+    return (enc, dec, aux), (ev, dv, av), (materials, conditions, x, hidden, residual)
+
+
+def test_fdnunet_trio_shapes():
+    S, B = 32, 2
+    (enc, dec, aux), (ev, dv, av), (materials, conditions, x, hidden, residual) = (
+        _init_trio(S, B)
+    )
+    # middle: S/8 spatial, 512 channels
+    assert x.shape == (B, S // 8, S // 8, 512)
+    assert len(hidden) == 8
+    assert residual.shape == (B, S, S, 64)
+
+    out = dec.apply(dv, x, list(hidden), residual)
+    assert out.shape == (B, S, S, 2)
+
+    sign, log = aux.apply(av, x)
+    assert sign.shape == (B, 4) and log.shape == (B, 4)
+    assert (np.asarray(sign) >= 0).all() and (np.asarray(sign) <= 1).all()
+
+
+def _count(tree):
+    return sum(x.size for x in jax.tree.leaves(tree))
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_param_count_parity_with_reference():
+    """Topology check: our flax modules have exactly the reference torch
+    modules' parameter counts (same dims/connectivity, NHWC vs NCHW)."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from model.fdnunetwithaux import create_models as torch_create
+    finally:
+        sys.path.pop(0)
+
+    t_enc, t_dec, t_aux = torch_create(
+        input_dim=64,
+        image_height=32,
+        image_width=32,
+        num_channels=2,
+        num_auxiliary_condition_channels=3,
+        num_stages=4,
+    )
+    t_counts = [
+        sum(p.numel() for p in m.parameters()) for m in (t_enc, t_dec, t_aux)
+    ]
+
+    _, (ev, dv, av), _ = _init_trio(S=32)
+    j_counts = [_count(v["params"]) for v in (ev, dv, av)]
+    assert j_counts == t_counts, f"jax {j_counts} vs torch {t_counts}"
+
+
+def test_monolithic_fdnunet_forward():
+    S, B = 32, 1
+    model = FDNUNet(
+        input_dim=32,
+        num_stages=3,
+        num_channels=2,
+        num_auxiliary_condition_channels=3,
+        attention_head_dim=8,
+        num_attention_heads=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((B, S, S, 2))
+    cond = jnp.zeros((B, S, S, 3))
+    variables = model.init(rng, x, cond)
+    out = model.apply(variables, x, cond)
+    assert out.shape == (B, S, S, 2)
+    # amax normalization: per-channel max is 1
+    np.testing.assert_allclose(
+        np.asarray(out).max(axis=(1, 2)), 1.0, rtol=1e-5
+    )
+
+
+def test_plain_unet_forward():
+    S, B = 32, 1
+    model = UNet(
+        input_dim=32,
+        num_stages=3,
+        num_channels=2,
+        num_condition_channels=4,
+        attention_head_dim=8,
+        num_attention_heads=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((B, S, S, 2))
+    cond = jnp.zeros((B, S, S, 4))
+    variables = model.init(rng, x, cond)
+    out = model.apply(variables, x, cond)
+    assert out.shape == (B, S, S, 2)
+
+
+def test_fdnunet_time_embedding_mode():
+    S = 16
+    model = FDNUNet(
+        input_dim=16,
+        num_stages=2,
+        num_channels=2,
+        num_auxiliary_condition_channels=3,
+        attention_head_dim=8,
+        num_attention_heads=2,
+        use_time_embedding=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((1, S, S, 2))
+    cond = jnp.zeros((1, S, S, 3))
+    t = jnp.array([0.5])
+    variables = model.init(rng, x, cond, time=t)
+    out = model.apply(variables, x, cond, time=t)
+    assert out.shape == (1, S, S, 2)

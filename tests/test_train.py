@@ -1,0 +1,128 @@
+import os
+
+import numpy as np
+import pytest
+
+from fea_tpu.data import FEADataset
+from fea_tpu.data.dataset import EpochSampler
+from fea_tpu.datagen import generate_data
+from fea_tpu.train import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("data"))
+    generate_data(
+        data_dir=data_dir,
+        image_size=64,
+        num_plates=1,
+        conditions_per_plate=2,
+        mesh_size=0.08,
+        holes_per_polygon_range=(0, 0),
+        num_steps_per_condition=3,
+        save_meshes=True,
+        seed=5,
+        verbose=False,
+    )
+    return data_dir
+
+
+def test_dataset_contract(tiny_dataset):
+    ds = FEADataset(
+        tiny_dataset, image_size=64, conditions_per_plate=2, num_steps=3
+    )
+    assert len(ds) == 1 * 2 * 2  # plates * conditions * (steps-1)
+    s = ds[0]
+    plate, condition, step = ds.index_to_ids(0)
+    assert (plate, condition, step) == (1, 1, 1)
+
+    assert s["geometry"].shape == (64, 64, 1)
+    assert set(np.unique(s["geometry"])) <= {-1.0, 1.0}
+    assert s["displacement"].shape == (64, 64, 2)
+    assert s["displacement"].min() >= -1.0 and s["displacement"].max() <= 1.0
+    assert s["constraints"].shape == (64, 64, 1)
+    assert s["forces"].shape == (64, 64, 2)
+    assert s["materials"].shape == (64, 64, 2)
+    assert s["displacement_range"].shape == (4,)
+    np.testing.assert_allclose(
+        s["log_displacement_range"], np.log1p(np.abs(s["displacement_range"]))
+    )
+
+    # step-1 forces are zero: magnitude scaling uses (step-1)/num_steps
+    # (reference diffusion.py:256-266)
+    assert np.abs(s["forces"]).max() == 0.0
+    s2 = ds[1]  # step 2 of condition 1
+    assert np.abs(s2["forces"]).max() > 0.0
+
+    # materials: log-E and nu values painted over regions
+    mat = s["materials"]
+    nonzero = mat[..., 0] != 0
+    assert nonzero.any()
+    vals = np.unique(np.round(mat[..., 0][nonzero], 5))
+    assert (vals > 9).all() and (vals < 14).all()  # ln(E+1), E in 17.5k..411k
+
+
+def test_epoch_sampler_resume():
+    s = EpochSampler(10, seed=3)
+    direct = s.indices_at(0, 30)
+    # resuming at offset 17 reproduces the same tail
+    resumed = s.indices_at(17, 13)
+    np.testing.assert_array_equal(direct[17:], resumed)
+    # each epoch is a permutation
+    assert sorted(direct[:10].tolist()) == list(range(10))
+    assert sorted(direct[10:20].tolist()) == list(range(10))
+
+
+def test_trainer_smoke_and_checkpoint(tiny_dataset, tmp_path):
+    results = str(tmp_path / "results")
+    config = TrainerConfig(
+        dataset_folder=tiny_dataset,
+        sample_dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=2,
+        num_steps_per_milestone=2,
+        num_steps_per_soft_milestone=1,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        num_sample_conditions_per_plate=2,
+        results_folder=results,
+        skip_dataset_size_check=True,
+        disable_auxiliary=False,
+        use_ema=True,
+        input_dim=16,
+        seed=0,
+    )
+    trainer = Trainer(config)
+    counts = trainer.num_params()
+    assert counts["encoder"] > 1e5 and counts["decoder"] > 1e5
+
+    losses = []
+    trainer.train(
+        wandb_inject_function=lambda step, loss, *a: losses.append(loss)
+    )
+    assert len(losses) == 2
+    assert all(np.isfinite(l) for l in losses)
+    assert int(trainer.state.step) == 2
+
+    # milestone checkpoint written (best or latest) + final
+    names = os.listdir(results)
+    assert any(n.startswith("model-final") for n in names)
+    assert any(n in ("model-best", "model-latest") for n in names)
+    # sample outputs written under results/<plate>/<condition>/
+    assert os.path.isfile(os.path.join(results, "1", "1", "sample_x_1.png"))
+
+    # resume roundtrip
+    trainer2 = Trainer(config)
+    trainer2.load_checkpoint("final")
+    assert int(trainer2.state.step) == 2
+    p1 = trainer.state.params["encoder"]
+    p2 = trainer2.state.params["encoder"]
+    import jax
+
+    leaves1 = jax.tree.leaves(p1)
+    leaves2 = jax.tree.leaves(p2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
