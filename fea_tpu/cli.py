@@ -114,9 +114,12 @@ def _add_train(sub):
     p.add_argument("--sample_data_dir", type=str, default="sample_data")
     p.add_argument("--num_steps_per_condition", type=int, default=6)
     p.add_argument("--num_steps_per_sample_condition", type=int, default=6)
+    p.add_argument("--conditions_per_plate", type=int, default=4)
     p.add_argument("--num_sample_conditions_per_plate", type=int, default=1)
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--skip_dataset_size_check", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_steps", type=int, default=10000)
@@ -147,8 +150,10 @@ def _cmd_train(args):
         loss_type=args.loss_type,
         num_steps_per_condition=args.num_steps_per_condition,
         num_steps_per_sample_condition=args.num_steps_per_sample_condition,
+        conditions_per_plate=args.conditions_per_plate,
         num_sample_conditions_per_plate=args.num_sample_conditions_per_plate,
         results_folder=args.results_dir,
+        skip_dataset_size_check=args.skip_dataset_size_check,
         disable_auxiliary=(
             True if args.disable_auxiliary is None else args.disable_auxiliary
         ),
