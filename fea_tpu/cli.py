@@ -11,20 +11,9 @@ import sys
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compile cache: datagen compiles one kernel per mesh
-    bucket; caching makes reruns and restarts cheap (and tolerates the
-    remote-compile tunnel being slow)."""
-    try:
-        import jax
+    from .utils.device import enable_compilation_cache
 
-        cache_dir = os.environ.get(
-            "FEA_TPU_JAX_CACHE", os.path.expanduser("~/.cache/fea_tpu_jax")
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_compilation_cache()
 
 
 def _add_generate(sub):

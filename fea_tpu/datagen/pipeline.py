@@ -39,6 +39,68 @@ from .writers import (
     verify_directory,
 )
 
+# Static-shape buckets (geometric-ish ladder): meshes are padded up to the
+# next bucket so every plate in a bucket reuses one compiled solve kernel.
+SHAPE_BUCKETS = [
+    256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
+    12288, 16384, 24576, 32768, 49152, 65536, 98304, 131072,
+]
+
+
+def next_bucket(n: int) -> int:
+    for b in SHAPE_BUCKETS:
+        if b >= n:
+            return b
+    return n
+
+
+def solve_condition(mesh, condition, num_steps, pad: bool = True, **solve_kw):
+    """Build + solve one condition, optionally bucket-padded; results are
+    sliced back to the real node/triangle counts. Structurally singular
+    systems short-circuit to a failed result without touching the device
+    (the reference burns a full LU factorization to find out)."""
+    problem = StaticProblem.from_condition(
+        mesh,
+        material_regions=condition["material_regions"],
+        point_constraints=condition["point_constraints"],
+        edge_constraints=condition["edge_constraints"],
+        point_forces=condition["point_forces"],
+        edge_forces=condition["edge_forces"],
+        num_steps=num_steps,
+    )
+    n, m = mesh.num_nodes, mesh.num_triangles
+    if problem.structurally_singular():
+        zeros_u = np.zeros((num_steps, n, 2))
+        zeros_c = np.zeros((num_steps, m, 3))
+        from ..fem.problem import SolveResult
+
+        return SolveResult(
+            displacements=zeros_u,
+            strain=zeros_c,
+            stress=zeros_c,
+            converged=np.asarray(False),
+            failed=np.asarray(True),
+            residual_norm=np.asarray(np.inf),
+            iterations=np.asarray(0),
+        )
+    if pad:
+        problem = problem.padded(next_bucket(n + 3), next_bucket(m))
+    # Packed single-step solve: ONE device->host fetch of one flat array;
+    # the per-step expansion (linear scaling) happens on the host.
+    from ..fem.problem import unpack_solve
+
+    packed = np.asarray(problem.solve(packed=True, **solve_kw))
+    result = unpack_solve(
+        packed, len(problem.coords), len(problem.triangles), num_steps
+    )
+    if pad:
+        result = result._replace(
+            displacements=result.displacements[:, :n],
+            strain=result.strain[:, :m],
+            stress=result.stress[:, :m],
+        )
+    return result
+
 
 def _write_condition(
     mesh: Mesh,
@@ -164,14 +226,18 @@ def generate_data(
     save_meshes: bool = False,
     seed: Optional[int] = None,
     solver_tol: Optional[float] = None,
-    solver_max_iters: int = 20000,
+    solver_max_iters: int = 6000,
     max_condition_retries: int = 20,
+    pad_to_buckets: bool = True,
     wandb_inject_function: Optional[Callable] = None,
     verbose: bool = True,
 ) -> Dict:
     """Sequential single-host datagen (the vmapped batch path lives in
     fea_tpu.datagen.batched). Returns summary stats."""
     assert num_steps_per_condition > 1, "Must have at least 2 steps per condition."
+    from ..utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
     verify_directory(data_dir)
 
     geometry_sampler = GeometrySampler(
@@ -200,7 +266,9 @@ def generate_data(
             continue
 
         conditions = condition_sampler.sample(mesh, conditions_per_plate)
-        pixel_map = build_pixel_map(mesh.coords, mesh.triangles, image_size)
+        pixel_map = build_pixel_map(
+            mesh.coords, mesh.triangles, image_size, pad_candidates=64
+        )
 
         plate_dir = os.path.join(data_dir, str(plate_index + 1))
         verify_directory(plate_dir)
@@ -214,58 +282,102 @@ def generate_data(
             os.path.join(plate_dir, "input.png"), geometry_image(pixel_map)
         )
 
-        condition_index = 0
-        retries = 0
-        while condition_index < len(conditions):
-            condition = conditions[condition_index]
-            condition_dir = os.path.join(plate_dir, str(condition_index + 1))
-            verify_directory(condition_dir)
+        from .batched import PlateSolver
 
-            problem = StaticProblem.from_condition(
-                mesh,
-                material_regions=condition["material_regions"],
-                point_constraints=condition["point_constraints"],
-                edge_constraints=condition["edge_constraints"],
-                point_forces=condition["point_forces"],
-                edge_forces=condition["edge_forces"],
-                num_steps=num_steps_per_condition,
-            )
-            start = timer()
-            result = problem.solve(tol=solver_tol, max_iters=solver_max_iters)
-            elapsed = timer() - start
-            solves += 1
+        solver = PlateSolver(
+            mesh,
+            num_steps_per_condition,
+            tol=solver_tol,
+            max_iters=solver_max_iters,
+        )
 
-            if not result.success:
+        def nonsingular_condition(condition, retries_box):
+            """Resample past structurally singular conditions (instant host
+            check — the reference pays an LU to find its NaNs). Returns
+            (condition, problem) or None to abandon the plate."""
+            nonlocal failures, solves
+            while True:
+                problem = solver.build_problem(condition)
+                if not problem.structurally_singular():
+                    return condition, problem
+                solves += 1
                 failures += 1
-                if verbose:
-                    print(
-                        f"Failed to calculate for plate {plate_index + 1} "
-                        f"condition {condition_index + 1}; regenerating condition"
-                    )
-                clear_directory(condition_dir)
-                retries += 1
-                if retries > max_condition_retries:
-                    raise RuntimeError("too many condition failures on one plate")
-                conditions[condition_index] = condition_sampler.sample_one(mesh)
-                continue
+                retries_box[0] += 1
+                if retries_box[0] > max_condition_retries:
+                    return None
+                condition = condition_sampler.sample_one(mesh)
 
+        retries_box = [0]
+        abandon_plate = False
+        pending: List = []  # (slot_index, condition, problem)
+        for i, condition in enumerate(conditions):
+            out = nonsingular_condition(condition, retries_box)
+            if out is None:
+                abandon_plate = True
+                break
+            pending.append((i, out[0], out[1]))
+
+        final: Dict[int, Tuple] = {}
+        while not abandon_plate and pending:
+            # One vmapped dispatch + ONE fetch for all pending conditions.
+            # Retry batches are padded to the full batch size so the kernel
+            # shape (and its compilation) stays fixed.
+            start = timer()
+            batch_problems = [p for _, _, p in pending]
+            while len(batch_problems) < len(conditions):
+                batch_problems.append(batch_problems[-1])
+            token = solver.dispatch_batch(batch_problems)
+            results = solver.fetch_batch(token)[: len(pending)]
+            elapsed = timer() - start
+            solves += len(pending)
             total_time += elapsed
             if verbose:
                 print("TIME:", elapsed)
 
-            _write_condition(
-                mesh,
-                pixel_map,
-                condition,
-                result,
-                condition_dir,
-                num_steps_per_condition,
-                save_displacement,
-                save_strain,
-                save_stress,
-                save_meshes,
-            )
-            condition_index += 1
+            retry: List = []
+            for (slot, condition, _problem), result in zip(pending, results):
+                if result.success:
+                    final[slot] = (condition, result)
+                    continue
+                failures += 1
+                if verbose:
+                    print(
+                        f"Failed to calculate for plate {plate_index + 1} "
+                        f"condition {slot + 1}; regenerating condition"
+                    )
+                out = nonsingular_condition(
+                    condition_sampler.sample_one(mesh), retries_box
+                )
+                if out is None:
+                    abandon_plate = True
+                    break
+                retry.append((slot, out[0], out[1]))
+            pending = retry
+
+        if not abandon_plate:
+            for slot in sorted(final):
+                condition, result = final[slot]
+                condition_dir = os.path.join(plate_dir, str(slot + 1))
+                verify_directory(condition_dir)
+                clear_directory(condition_dir)
+                _write_condition(
+                    mesh,
+                    pixel_map,
+                    condition,
+                    result,
+                    condition_dir,
+                    num_steps_per_condition,
+                    save_displacement,
+                    save_strain,
+                    save_stress,
+                    save_meshes,
+                )
+
+        if abandon_plate:
+            for name in os.listdir(plate_dir):
+                sub = os.path.join(plate_dir, name)
+                clear_directory(sub) if os.path.isdir(sub) else os.remove(sub)
+            continue  # same plate_index, fresh geometry
 
         if wandb_inject_function is not None:
             wandb_inject_function(plate_index, total_time, None)

@@ -62,9 +62,10 @@ def _regions_with_agglomerative(
     num_regions: int,
     linkage_method: str,
     rng: np.random.Generator,
-    max_exact: int = 2500,
+    max_exact: int = 1200,
 ) -> List[np.ndarray]:
     from scipy.cluster.hierarchy import fcluster, linkage
+    from scipy.spatial import cKDTree
 
     n = len(coords)
     if n > max_exact:
@@ -76,10 +77,10 @@ def _regions_with_agglomerative(
     if n > max_exact:
         # assign remaining nodes to the nearest labeled sample node
         rest = np.setdiff1d(np.arange(n), sample)
-        d = ((coords[rest][:, None, :] - coords[sample][None]) ** 2).sum(-1)
+        _, nearest = cKDTree(coords[sample]).query(coords[rest])
         labels = np.empty(n, dtype=np.int64)
         labels[sample] = sample_labels
-        labels[rest] = sample_labels[d.argmin(axis=1)]
+        labels[rest] = sample_labels[nearest]
     else:
         labels = sample_labels
     return [np.where(labels == r)[0] for r in range(num_regions)]

@@ -26,22 +26,38 @@ class IncidenceOp(NamedTuple):
     n_elements: int
 
 
-def build_incidence(triangles: np.ndarray, n_nodes: int) -> IncidenceOp:
-    """Host-side construction of the incidence plan (once per mesh/bucket)."""
-    triangles = np.asarray(triangles)
+def build_incidence(
+    triangles: np.ndarray, n_nodes: int, pad_degree: int = 0
+) -> IncidenceOp:
+    """Host-side construction of the incidence plan (once per mesh/bucket).
+
+    Vectorized NumPy group-by (no Python loop over elements). `pad_degree`
+    forces a fixed table width so bucketed meshes share compiled shapes."""
+    triangles = np.asarray(triangles, dtype=np.int64)
     M = len(triangles)
     ndof = 2 * n_nodes
-    lists: list = [[] for _ in range(ndof)]
-    for e in range(M):
-        for a in range(3):
-            node = triangles[e, a]
-            for comp in range(2):
-                lists[2 * node + comp].append(e * 6 + 2 * a + comp)
-    max_deg = max((len(l) for l in lists), default=1)
     sentinel = M * 6  # extra zero slot
-    slots = np.full((ndof, max_deg), sentinel, dtype=np.int32)
-    for d, l in enumerate(lists):
-        slots[d, : len(l)] = l
+
+    # Per element slot (e, a, comp): dof = 2*node + comp, value = e*6 + 2a + comp.
+    nodes = np.repeat(triangles.reshape(-1), 2)  # (M*3*2,)
+    comp = np.tile(np.array([0, 1]), M * 3)
+    dof = 2 * nodes + comp
+    vals = np.repeat(np.arange(M * 3) * 2, 2) + comp  # e*6 + 2a + comp
+
+    order = np.argsort(dof, kind="stable")
+    dof_s = dof[order]
+    vals_s = vals[order]
+    counts = np.bincount(dof, minlength=ndof)
+    max_deg = int(counts.max()) if M else 1
+    # Quantize table width (multiple of 8) so meshes with similar max
+    # degree share compiled shapes.
+    width = max(max_deg, pad_degree)
+    width = ((width + 7) // 8) * 8
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(len(dof_s)) - np.repeat(starts, counts)
+
+    slots = np.full((ndof, width), sentinel, dtype=np.int32)
+    slots[dof_s, within] = vals_s
     return IncidenceOp(slots=jnp.asarray(slots), n_nodes=n_nodes, n_elements=M)
 
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from .assembly import apply_element_stiffness, build_incidence
 from .elasticity import element_stiffness, plane_strain_stiffness
-from .solver import extract_diagonal, pcg_solve
+from .solver import block_diagonal, extract_diagonal, invert_blocks, pcg_solve
 
 
 class SolveResult(NamedTuple):
@@ -118,12 +118,97 @@ class StaticProblem:
             num_steps=num_steps,
         )
 
+    def structurally_singular(self) -> bool:
+        """Host-side detector for the singular systems the reference's LU
+        NaNs on (fea_analysis.py:455-461): a free node with an all-zero row
+        (covered by no stiff element), or a stiff connected component with
+        no Dirichlet-fixed node (floating island — a by-product of the
+        straddling-cell region semantics). Hinge mechanisms (components
+        pinned at a single node) still fall through to the solver's
+        convergence check."""
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import connected_components
+
+        n = len(self.coords)
+        stiff = self.triangles[self.young > 0]
+        covered = np.zeros(n, dtype=bool)
+        covered[stiff.reshape(-1)] = True
+        if (~covered & ~self.fixed_nodes).any():
+            return True
+        if len(stiff) == 0:
+            return True
+        rows = np.concatenate([stiff[:, 0], stiff[:, 1], stiff[:, 2]])
+        cols = np.concatenate([stiff[:, 1], stiff[:, 2], stiff[:, 0]])
+        adj = sp.coo_matrix(
+            (np.ones(len(rows), dtype=np.int8), (rows, cols)), shape=(n, n)
+        )
+        n_comp, labels = connected_components(adj, directed=False)
+        has_fixed = np.zeros(n_comp, dtype=bool)
+        np.logical_or.at(has_fixed, labels, self.fixed_nodes)
+        stiff_components = np.unique(labels[covered])
+        return bool(~has_fixed[stiff_components].all())
+
+    def padded(self, node_bucket: int, tri_bucket: int) -> "StaticProblem":
+        """Pad to static bucket shapes so solves share compiled kernels.
+
+        Ghost nodes: three of them form a valid far-away triangle; all
+        padded triangles reference it with E=0 (zero stiffness) and ghost
+        nodes are Dirichlet-fixed, so results are bit-identical to the
+        unpadded solve on the real nodes."""
+        n, m = len(self.coords), len(self.triangles)
+        assert node_bucket >= n + 3 and tri_bucket >= m, (
+            f"bucket ({node_bucket},{tri_bucket}) too small for ({n},{m})"
+        )
+        # Ghost nodes on three concentric rings far from the domain; each
+        # padded triangle takes one node per ring at the same angle, giving
+        # O(1)-area triangles that stay robustly non-degenerate in float32
+        # (near-collinear triples would produce inf/NaN in the B-matrix even
+        # with E=0). Cycling through k angles bounds any ghost's incidence
+        # degree.
+        p = node_bucket - n
+        k = max(p // 3, 1)
+        ring = np.minimum(np.arange(p) // k, 3).astype(np.float64)
+        # per-ring angular offset: a same-angle triple across rings would be
+        # radially collinear without it
+        theta = 2.0 * np.pi * (np.arange(p) % k) / k + 0.7 * ring
+        radius = 1.0 + ring
+        ghosts = np.stack(
+            [100.0 + radius * np.cos(theta), 100.0 + radius * np.sin(theta)],
+            axis=1,
+        )
+        coords = np.concatenate([self.coords, ghosts])
+        pad_m = tri_bucket - m
+        j = np.arange(pad_m)
+        if p >= 3 * k and k >= 1 and p >= 3:
+            pad_tris = np.stack(
+                [n + j % k, n + k + j % k, n + 2 * k + j % k], axis=1
+            ).astype(self.triangles.dtype)
+        else:  # minimal padding: a single ghost triple
+            pad_tris = np.tile(
+                np.array([[n, n + 1, n + 2]], dtype=self.triangles.dtype),
+                (pad_m, 1),
+            )
+        triangles = np.concatenate([self.triangles, pad_tris])
+        return StaticProblem(
+            coords=coords,
+            triangles=triangles,
+            young=np.concatenate([self.young, np.zeros(pad_m)]),
+            poisson=np.concatenate([self.poisson, np.zeros(pad_m)]),
+            fixed_nodes=np.concatenate(
+                [self.fixed_nodes, np.ones(node_bucket - n, dtype=bool)]
+            ),
+            loads=np.concatenate([self.loads, np.zeros((node_bucket - n, 2))]),
+            num_steps=self.num_steps,
+        )
+
     def solve(
         self,
         tol: Optional[float] = None,
         max_iters: int = 20000,
         dtype=jnp.float64,
         accept_tol: float = 1e-4,
+        restarts: Optional[int] = None,
+        packed: bool = False,
     ) -> SolveResult:
         """`tol` defaults by dtype: 1e-10 (f64) / 1e-6 (f32, the dtype's
         attainable floor). `accept_tol` is the success threshold on the true
@@ -135,7 +220,23 @@ class StaticProblem:
             dtype = jnp.dtype(jnp.float32)
         if tol is None:
             tol = 1e-10 if dtype == jnp.float64 else 1e-6
+        if restarts is None:
+            restarts = 1 if dtype == jnp.float64 else 6
         incidence = build_incidence(self.triangles, len(self.coords))
+        if packed:
+            return _solve_kernel_packed(
+                jnp.asarray(self.coords, dtype),
+                jnp.asarray(self.triangles, jnp.int32),
+                jnp.asarray(self.young, dtype),
+                jnp.asarray(self.poisson, dtype),
+                incidence.slots,
+                jnp.asarray(~self.fixed_nodes, dtype),
+                jnp.asarray(self.loads, dtype),
+                tol=tol,
+                max_iters=max_iters,
+                accept_tol=accept_tol,
+                restarts=restarts,
+            )
         res = _solve_kernel(
             jnp.asarray(self.coords, dtype),
             jnp.asarray(self.triangles, jnp.int32),
@@ -148,11 +249,52 @@ class StaticProblem:
             tol=tol,
             max_iters=max_iters,
             accept_tol=accept_tol,
+            restarts=restarts,
         )
         return res
 
 
-@partial(jax.jit, static_argnames=("num_steps", "tol", "max_iters", "accept_tol"))
+def _solve_core(
+    coords,
+    triangles,
+    young,
+    poisson,
+    incidence_slots,
+    free_nodes,
+    loads,
+    tol,
+    max_iters,
+    accept_tol,
+    restarts,
+):
+    D = plane_strain_stiffness(young, poisson)
+    Ke, B, _area = element_stiffness(coords, triangles, D)
+    diag = extract_diagonal(Ke, triangles, coords.shape[0])
+    free = free_nodes[:, None].repeat(2, axis=1)
+    blocks = block_diagonal(Ke, triangles, coords.shape[0])
+    block_inv = invert_blocks(blocks, free)
+
+    op = partial(apply_element_stiffness, Ke, triangles, incidence_slots)
+    res = pcg_solve(
+        op,
+        loads,
+        diag,
+        free,
+        tol=tol,
+        max_iters=max_iters // max(restarts, 1),
+        accept_tol=accept_tol,
+        block_inv=block_inv,
+        restarts=restarts,
+    )
+    eps1 = jnp.einsum("mij,mj->mi", B, res.x[triangles].reshape(-1, 6))
+    sig1 = jnp.einsum("mij,mj->mi", D, eps1)
+    return res, eps1, sig1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_steps", "tol", "max_iters", "accept_tol", "restarts"),
+)
 def _solve_kernel(
     coords,
     triangles,
@@ -166,31 +308,83 @@ def _solve_kernel(
     tol: float,
     max_iters: int,
     accept_tol: float = 1e-4,
+    restarts: int = 1,
 ) -> SolveResult:
     dtype = coords.dtype
-    D = plane_strain_stiffness(young, poisson)
-    Ke, B, _area = element_stiffness(coords, triangles, D)
-    diag = extract_diagonal(Ke, triangles, coords.shape[0])
-    free = free_nodes[:, None].repeat(2, axis=1)
-
-    op = partial(apply_element_stiffness, Ke, triangles, incidence_slots)
-    res = pcg_solve(
-        op, loads, diag, free, tol=tol, max_iters=max_iters, accept_tol=accept_tol
+    res, eps1, sig1 = _solve_core(
+        coords, triangles, young, poisson, incidence_slots, free_nodes, loads,
+        tol, max_iters, accept_tol, restarts,
     )
-
     t = jnp.linspace(0.0, 1.0, num_steps).astype(dtype)
-    u_steps = t[:, None, None] * res.x[None]
-    eps1 = jnp.einsum("mij,mj->mi", B, res.x[triangles].reshape(-1, 6))
-    sig1 = jnp.einsum("mij,mj->mi", D, eps1)
-    strain = t[:, None, None] * eps1[None]
-    stress = t[:, None, None] * sig1[None]
-
     return SolveResult(
-        displacements=u_steps,
-        strain=strain,
-        stress=stress,
+        displacements=t[:, None, None] * res.x[None],
+        strain=t[:, None, None] * eps1[None],
+        stress=t[:, None, None] * sig1[None],
         converged=res.converged,
         failed=res.failed,
         residual_norm=res.residual_norm,
         iterations=res.iterations,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("tol", "max_iters", "accept_tol", "restarts")
+)
+def _solve_kernel_packed(
+    coords,
+    triangles,
+    young,
+    poisson,
+    incidence_slots,
+    free_nodes,
+    loads,
+    *,
+    tol: float,
+    max_iters: int,
+    accept_tol: float = 1e-4,
+    restarts: int = 1,
+):
+    """Single-step solve packed into one flat f32 vector:
+    [u1 (2N), eps1 (3M), sig1 (3M), converged, failed, rnorm, iters].
+    One device->host fetch instead of one per field — on high-latency
+    links (tunneled TPUs) per-fetch round trips dominate the solve."""
+    res, eps1, sig1 = _solve_core(
+        coords, triangles, young, poisson, incidence_slots, free_nodes, loads,
+        tol, max_iters, accept_tol, restarts,
+    )
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            res.x.reshape(-1).astype(f32),
+            eps1.reshape(-1).astype(f32),
+            sig1.reshape(-1).astype(f32),
+            jnp.stack(
+                [
+                    res.converged.astype(f32),
+                    res.failed.astype(f32),
+                    res.residual_norm.astype(f32),
+                    res.iterations.astype(f32),
+                ]
+            ),
+        ]
+    )
+
+
+def unpack_solve(packed: np.ndarray, n: int, m: int, num_steps: int) -> SolveResult:
+    """Host-side expansion of the packed single-step solution into the
+    per-step SolveResult (linear problem: u(t_k) = t_k * u1)."""
+    packed = np.asarray(packed)
+    u1 = packed[: 2 * n].reshape(n, 2)
+    eps1 = packed[2 * n : 2 * n + 3 * m].reshape(m, 3)
+    sig1 = packed[2 * n + 3 * m : 2 * n + 6 * m].reshape(m, 3)
+    converged, failed, rnorm, iters = packed[2 * n + 6 * m :]
+    t = np.linspace(0.0, 1.0, num_steps)
+    return SolveResult(
+        displacements=t[:, None, None] * u1[None],
+        strain=t[:, None, None] * eps1[None],
+        stress=t[:, None, None] * sig1[None],
+        converged=np.asarray(bool(converged)),
+        failed=np.asarray(bool(failed)),
+        residual_norm=np.asarray(rnorm),
+        iterations=np.asarray(int(iters)),
     )

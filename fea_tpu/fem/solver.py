@@ -21,6 +21,40 @@ class CGResult(NamedTuple):
     failed: jnp.ndarray  # NaN/Inf detected (singular or blow-up)
 
 
+def block_diagonal(Ke, triangles, n_nodes):
+    """Per-node 2x2 diagonal blocks of K (block-Jacobi preconditioner —
+    markedly more robust than scalar Jacobi for elasticity, especially with
+    the zero-stiffness straddling cells the region semantics produce)."""
+    # Ke dof order (x0,y0,x1,y1,x2,y2): node-a self block = Ke[2a:2a+2, 2a:2a+2]
+    blocks = jnp.stack(
+        [Ke[:, 2 * a : 2 * a + 2, 2 * a : 2 * a + 2] for a in range(3)], axis=1
+    )  # (M, 3, 2, 2)
+    out = jnp.zeros((n_nodes, 2, 2), Ke.dtype)
+    return out.at[triangles.reshape(-1)].add(blocks.reshape(-1, 2, 2))
+
+
+def invert_blocks(blocks, free_mask):
+    """Inverse of 2x2 SPD blocks; identity on fixed/empty nodes."""
+    a = blocks[:, 0, 0]
+    b = blocks[:, 0, 1]
+    c = blocks[:, 1, 0]
+    d = blocks[:, 1, 1]
+    det = a * d - b * c
+    ok = jnp.abs(det) > 1e-30
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    inv = jnp.stack(
+        [
+            jnp.stack([d * inv_det, -b * inv_det], axis=-1),
+            jnp.stack([-c * inv_det, a * inv_det], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=blocks.dtype), inv.shape)
+    inv = jnp.where(ok[:, None, None], inv, eye)
+    # zero rows/cols for fixed nodes are handled by the free mask outside
+    return inv
+
+
 def pcg_solve(
     operator,
     b,
@@ -30,6 +64,8 @@ def pcg_solve(
     tol: float = 1e-10,
     max_iters: int = 2000,
     accept_tol: float = None,
+    block_inv=None,
+    restarts: int = 1,
 ) -> CGResult:
     """Solve A x = b on the free dofs with Jacobi preconditioning.
 
@@ -54,11 +90,16 @@ def pcg_solve(
     def A(u):
         return operator(u * free) * free
 
-    x = jnp.zeros_like(bm) if x0 is None else x0 * free
-    r = bm - A(x)
-    z = inv_diag * r
-    p = z
-    rz = jnp.vdot(r, z)
+    if block_inv is not None:
+
+        def precondition(r):
+            return jnp.einsum("nij,nj->ni", block_inv, r) * free
+
+    else:
+
+        def precondition(r):
+            return inv_diag * r
+
     b_norm = jnp.sqrt(jnp.vdot(bm, bm))
     b_norm = jnp.where(b_norm > 0, b_norm, 1.0)
     atol2 = (tol * b_norm) ** 2
@@ -77,13 +118,32 @@ def pcg_solve(
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = inv_diag * r
+        z = precondition(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
         return (x, r, p, rz_new, k + 1)
 
-    x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    # Restarted CG (iterative refinement): each restart recomputes the true
+    # residual, killing the conjugacy/residual drift that stalls or diverges
+    # single-sweep CG in float32 on ill-conditioned plates.
+    x = jnp.zeros_like(bm) if x0 is None else x0 * free
+    total_iters = jnp.array(0)
+    for _ in range(max(restarts, 1)):
+        r = bm - A(x)
+        z = precondition(r)
+        rz = jnp.vdot(r, z)
+        # a NaN-poisoned x would propagate: reset instead (keeps while_loop
+        # shapes static, costs nothing in the healthy path)
+        healthy = jnp.isfinite(rz)
+        x = jnp.where(healthy, x, 0.0)
+        r = jnp.where(healthy, r, bm)
+        z = jnp.where(healthy, z, precondition(bm))
+        rz = jnp.where(healthy, rz, jnp.vdot(r, precondition(r)))
+        x, r, p, rz, k = jax.lax.while_loop(
+            cond, body, (x, r, z, rz, jnp.array(0))
+        )
+        total_iters = total_iters + k
 
     # Recompute true residual for reporting.
     rtrue = bm - A(x)
@@ -93,7 +153,7 @@ def pcg_solve(
     return CGResult(
         x=x * free,
         residual_norm=rnorm,
-        iterations=k,
+        iterations=total_iters,
         converged=converged,
         failed=failed,
     )

@@ -74,25 +74,48 @@ class PixelMap(NamedTuple):
     frame: Frame
 
 
-def _bin_triangles(coords, triangles, frame: Frame, cell_px: int):
-    """Host-side uniform grid: per grid cell, the triangles overlapping it."""
+def _bin_triangles(coords, triangles, frame: Frame, cell_px: int, pad_to: int = 0):
+    """Host-side uniform grid: per grid cell, the triangles overlapping it.
+    Fully vectorized (group-by over (cell, triangle) pairs)."""
     S = frame.image_size
     n_cells = (S + cell_px - 1) // cell_px
     pix = frame.pixel_of_world(coords)  # (N,2) col,row
     tri_pix = pix[triangles]  # (M,3,2)
-    lo = np.floor(tri_pix.min(axis=1) / cell_px).astype(np.int64)
-    hi = np.floor(tri_pix.max(axis=1) / cell_px).astype(np.int64)
-    lo = np.clip(lo, 0, n_cells - 1)
-    hi = np.clip(hi, 0, n_cells - 1)
-    cells: list = [[] for _ in range(n_cells * n_cells)]
-    for t in range(len(triangles)):
-        for cy in range(lo[t, 1], hi[t, 1] + 1):
-            for cx in range(lo[t, 0], hi[t, 0] + 1):
-                cells[cy * n_cells + cx].append(t)
-    max_per_cell = max((len(c) for c in cells), default=1)
-    table = np.full((n_cells * n_cells, max_per_cell), -1, dtype=np.int32)
-    for i, c in enumerate(cells):
-        table[i, : len(c)] = c
+    lo = np.clip(
+        np.floor(tri_pix.min(axis=1) / cell_px).astype(np.int64), 0, n_cells - 1
+    )
+    hi = np.clip(
+        np.floor(tri_pix.max(axis=1) / cell_px).astype(np.int64), 0, n_cells - 1
+    )
+    span = hi - lo + 1  # (M,2)
+    M = len(triangles)
+
+    cell_ids = []
+    tri_ids = []
+    max_sx = int(span[:, 0].max()) if M else 1
+    max_sy = int(span[:, 1].max()) if M else 1
+    for dy in range(max_sy):
+        for dx in range(max_sx):
+            mask = (dx < span[:, 0]) & (dy < span[:, 1])
+            if not mask.any():
+                continue
+            t = np.nonzero(mask)[0]
+            cell_ids.append((lo[t, 1] + dy) * n_cells + (lo[t, 0] + dx))
+            tri_ids.append(t)
+    cell_ids = np.concatenate(cell_ids) if cell_ids else np.zeros(0, np.int64)
+    tri_ids = np.concatenate(tri_ids) if tri_ids else np.zeros(0, np.int64)
+
+    order = np.argsort(cell_ids, kind="stable")
+    cell_s = cell_ids[order]
+    tri_s = tri_ids[order]
+    counts = np.bincount(cell_ids, minlength=n_cells * n_cells)
+    max_per_cell = int(counts.max()) if len(cell_ids) else 1
+    width = max(max_per_cell, pad_to)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(len(cell_s)) - np.repeat(starts, counts)
+
+    table = np.full((n_cells * n_cells, width), -1, dtype=np.int32)
+    table[cell_s, within] = tri_s
     return table, n_cells
 
 
@@ -102,10 +125,16 @@ def build_pixel_map(
     image_size: int,
     frame: Optional[Frame] = None,
     cell_px: int = 16,
+    pad_candidates: int = 0,
 ) -> PixelMap:
-    """Locate every pixel center in the mesh. O(pixels * candidates)."""
+    """Locate every pixel center in the mesh. O(pixels * candidates).
+
+    `pad_candidates` fixes the per-cell candidate width so different plates
+    share one compiled locate kernel (rounded up to it if smaller)."""
     frame = frame or make_frame(coords, image_size)
-    table, n_cells = _bin_triangles(coords, triangles, frame, cell_px)
+    table, n_cells = _bin_triangles(
+        coords, triangles, frame, cell_px, pad_to=pad_candidates
+    )
 
     world = frame.world_of_pixels().reshape(-1, 2)  # (P, 2)
     S = image_size
@@ -114,12 +143,15 @@ def build_pixel_map(
     cell_id = (rows // cell_px) * n_cells + (cols // cell_px)
     cand = table[cell_id]  # (P, K)
 
-    tri_idx, bary = _locate_kernel(
-        jnp.asarray(coords, jnp.float32),
-        jnp.asarray(triangles, jnp.int32),
-        jnp.asarray(world, jnp.float32),
-        jnp.asarray(cand, jnp.int32),
-    )
+    from ..utils.device import raster_device
+
+    with jax.default_device(raster_device()):
+        tri_idx, bary = _locate_kernel(
+            jnp.asarray(coords, jnp.float32),
+            jnp.asarray(triangles, jnp.int32),
+            jnp.asarray(world, jnp.float32),
+            jnp.asarray(cand, jnp.int32),
+        )
     tri_idx = np.asarray(tri_idx).reshape(S, S)
     bary = np.asarray(bary).reshape(S, S, 3)
     return PixelMap(

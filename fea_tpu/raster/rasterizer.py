@@ -53,23 +53,28 @@ def field_image(
     value_range: Optional[Tuple[float, float]] = None,
 ) -> np.ndarray:
     """uint8 (S,S) image of a nodal scalar field, binary-colormap style."""
-    field = _interp_kernel(
-        jnp.asarray(pixel_map.tri_idx),
-        jnp.asarray(pixel_map.bary, jnp.float32),
-        jnp.asarray(triangles, jnp.int32),
-        jnp.asarray(nodal_values, jnp.float32),
-    )
-    lo, hi = value_range if value_range is not None else scalar_range(nodal_values)
-    span = hi - lo
-    if abs(span) < 1e-30:
-        # Uniform field renders solid black (the reference's input.png:
-        # constant mat-id field under the binary cmap).
-        normalized = jnp.ones_like(field)
-    else:
-        normalized = jnp.clip((field - lo) / span, 0.0, 1.0)
-    gray = (1.0 - normalized) * 255.0
-    img = jnp.where(jnp.asarray(pixel_map.inside), gray, 255.0)
-    return np.asarray(jnp.round(img).astype(jnp.uint8))
+    from ..utils.device import raster_device
+
+    with jax.default_device(raster_device()):
+        field = _interp_kernel(
+            jnp.asarray(pixel_map.tri_idx),
+            jnp.asarray(pixel_map.bary, jnp.float32),
+            jnp.asarray(triangles, jnp.int32),
+            jnp.asarray(nodal_values, jnp.float32),
+        )
+        lo, hi = (
+            value_range if value_range is not None else scalar_range(nodal_values)
+        )
+        span = hi - lo
+        if abs(span) < 1e-30:
+            # Uniform field renders solid black (the reference's input.png:
+            # constant mat-id field under the binary cmap).
+            normalized = jnp.ones_like(field)
+        else:
+            normalized = jnp.clip((field - lo) / span, 0.0, 1.0)
+        gray = (1.0 - normalized) * 255.0
+        img = jnp.where(jnp.asarray(pixel_map.inside), gray, 255.0)
+        return np.asarray(jnp.round(img).astype(jnp.uint8))
 
 
 def cell_field_image(

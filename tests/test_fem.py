@@ -190,3 +190,38 @@ def test_linear_scaling_of_steps():
     np.testing.assert_allclose(u[2], 0.5 * u[4], rtol=1e-9)
     assert res.strain.shape == (5, mesh.num_triangles, 3)
     assert res.stress.shape == (5, mesh.num_triangles, 3)
+
+
+def test_padded_solve_matches_unpadded():
+    from fea_tpu.datagen.pipeline import next_bucket
+    from fea_tpu.mesh import triangulate
+
+    mesh = triangulate(
+        np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]), mesh_size=0.15
+    )
+    fixed = np.abs(mesh.coords[:, 1]) < 1e-12
+    loads = np.zeros((mesh.num_nodes, 2))
+    top = int(np.argmax(mesh.coords[:, 1]))
+    loads[top] = (30.0, -70.0)
+    problem = StaticProblem(
+        coords=mesh.coords,
+        triangles=mesh.triangles,
+        young=np.full(mesh.num_triangles, 50000.0),
+        poisson=np.full(mesh.num_triangles, 0.3),
+        fixed_nodes=fixed,
+        loads=loads,
+        num_steps=3,
+    )
+    res = problem.solve()
+    padded = problem.padded(
+        next_bucket(mesh.num_nodes + 3), next_bucket(mesh.num_triangles)
+    )
+    res_p = padded.solve()
+    assert res.success and res_p.success
+    np.testing.assert_allclose(
+        np.asarray(res_p.displacements)[:, : mesh.num_nodes],
+        np.asarray(res.displacements),
+        atol=1e-8,
+    )
+    # padded tail is exactly zero
+    assert np.abs(np.asarray(res_p.displacements)[:, mesh.num_nodes:]).max() == 0
