@@ -1,0 +1,140 @@
+"""Benchmark: datagen throughput on the production config, plus per-solve
+latency and cantilever displacement-parity — the BASELINE.json metrics.
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+
+Baseline: the reference prints per-condition TIME only (no recorded
+numbers); its sfepy/SuperLU datagen runs ~10-60 s per plate on CPU at the
+production config (SURVEY.md §6), so vs_baseline uses the 30 s/plate
+midpoint -> 120 plates/hour.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REFERENCE_PLATES_PER_HOUR = 120.0  # 30 s/plate sfepy-CPU estimate (see above)
+
+WARMUP_PLATES = 2
+TIMED_PLATES = 6
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from fea_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from fea_tpu.datagen import generate_data
+
+    common = dict(
+        image_size=512,
+        conditions_per_plate=4,
+        mesh_size=1e-2,
+        num_steps_per_condition=6,
+        save_displacement=True,
+        save_meshes=False,
+        verbose=False,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        log("warmup (populates compile cache)...")
+        t0 = time.time()
+        generate_data(
+            data_dir=os.path.join(tmp, "warm"),
+            num_plates=WARMUP_PLATES,
+            seed=7,
+            **common,
+        )
+        log(f"warmup {time.time() - t0:.1f}s")
+
+        log(f"timing {TIMED_PLATES} plates...")
+        t0 = time.time()
+        stats = generate_data(
+            data_dir=os.path.join(tmp, "timed"),
+            num_plates=TIMED_PLATES,
+            seed=1234,
+            **common,
+        )
+        wall = time.time() - t0
+
+    plates_per_hour = TIMED_PLATES / wall * 3600.0
+    ok_solves = stats["solves"] - stats["failures"]
+    solve_ms = (
+        stats["total_solve_time"] / max(ok_solves, 1) * 1000.0
+    )  # per successful condition (batched solves amortized)
+
+    # Cantilever golden parity on this hardware (f32 solve vs the
+    # reference's checked-in sfepy solution).
+    parity_mae = None
+    try:
+        import numpy as np
+
+        from fea_tpu.datagen.pipeline import next_bucket
+        from fea_tpu.fem import StaticProblem
+        from fea_tpu.mesh import read_medit_mesh, read_vtk
+
+        cdir = "/root/reference/applications/cantilever"
+        if os.path.isdir(cdir):
+            coords, tris = read_medit_mesh(f"{cdir}/cantilever.mesh")
+            gt = read_vtk(f"{cdir}/cantilever.vtk")["u"][:, :2]
+            cand = coords[:, 0] < 0.01
+            edges = set()
+            for t in tris:
+                for e in range(3):
+                    a, b = int(t[e]), int(t[(e + 1) % 3])
+                    edges.add((min(a, b), max(a, b)))
+            fixed = np.zeros(len(coords), bool)
+            for a, b in edges:
+                if cand[a] and cand[b]:
+                    fixed[a] = fixed[b] = True
+            loads = np.zeros((len(coords), 2))
+            loads[3] = (0.0, -1000.0)
+            from fea_tpu.fem.problem import solve_refined
+
+            problem = StaticProblem(
+                coords=coords,
+                triangles=tris,
+                young=np.full(len(tris), 210000.0),
+                poisson=np.full(len(tris), 0.3),
+                fixed_nodes=fixed,
+                loads=loads,
+                num_steps=2,
+            )
+            res = solve_refined(
+                problem,
+                pad_buckets=(
+                    next_bucket(len(coords) + 3),
+                    next_bucket(len(tris)),
+                ),
+            )
+            u = np.asarray(res.displacements[-1])
+            parity_mae = float(np.abs(u - gt).mean() / np.abs(gt).max())
+    except Exception as e:  # parity is auxiliary; never sink the bench
+        log(f"parity check failed: {e}")
+
+    result = {
+        "metric": "datagen_plates_per_hour",
+        "value": round(plates_per_hour, 2),
+        "unit": "plates/hour (512px, 4 conds x 6 steps, mesh 1e-2)",
+        "vs_baseline": round(plates_per_hour / REFERENCE_PLATES_PER_HOUR, 2),
+        "solve_ms_per_condition": round(solve_ms, 2),
+        "relative_parity_mae_cantilever": parity_mae,
+        "solves": stats["solves"],
+        "singular_resamples": stats["failures"],
+        "baseline_note": "reference sfepy-CPU est. 120 plates/hour (30s/plate)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,9 @@ def apply_element_stiffness(Ke, triangles, incidence_slots, u):
     """
     n_nodes = u.shape[0]
     ue = u[triangles].reshape(-1, 6)  # (M, 6)
-    fe = jnp.einsum("mij,mj->mi", Ke, ue)  # (M, 6)
+    fe = jnp.einsum(
+        "mij,mj->mi", Ke, ue, precision=jax.lax.Precision.HIGHEST
+    )  # (M, 6)
     fe_flat = jnp.concatenate([fe.reshape(-1), jnp.zeros((1,), fe.dtype)])
     y = fe_flat[incidence_slots].sum(axis=1)
     return y.reshape(n_nodes, 2)

@@ -5,6 +5,7 @@ strain), used by the reference for every material region
 (fea_analysis.py:257-266).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -35,6 +36,44 @@ def plane_stress_stiffness(young, poisson):
     row1 = jnp.stack([c * poisson, c, zeros], axis=-1)
     row2 = jnp.stack([zeros, zeros, c * (1 - poisson) / 2], axis=-1)
     return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def element_stiffness_np(coords, triangles, young, poisson):
+    """Float64 NumPy element stiffness — host-side exact assembly for the
+    mixed-precision refinement path (independent of jax_enable_x64).
+    Returns (Ke (M,6,6), B (M,3,6), D (M,3,3), area (M,))."""
+    import numpy as np
+
+    coords = np.asarray(coords, np.float64)
+    triangles = np.asarray(triangles)
+    young = np.asarray(young, np.float64)
+    poisson = np.asarray(poisson, np.float64)
+    lam = young * poisson / ((1.0 + poisson) * (1.0 - 2.0 * poisson))
+    mu = young / (2.0 * (1.0 + poisson))
+    zeros = np.zeros_like(lam)
+    D = np.stack(
+        [
+            np.stack([lam + 2 * mu, lam, zeros], axis=-1),
+            np.stack([lam, lam + 2 * mu, zeros], axis=-1),
+            np.stack([zeros, zeros, mu], axis=-1),
+        ],
+        axis=-2,
+    )
+    p = coords[triangles]
+    x, y = p[..., 0], p[..., 1]
+    b = np.stack([y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], -1)
+    c = np.stack([x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], -1)
+    area2 = x[:, 0] * b[:, 0] + x[:, 1] * b[:, 1] + x[:, 2] * b[:, 2]
+    area = 0.5 * area2
+    bn = b / area2[:, None]
+    cn = c / area2[:, None]
+    z = np.zeros_like(bn)
+    rxx = np.stack([bn[:, 0], z[:, 0], bn[:, 1], z[:, 1], bn[:, 2], z[:, 2]], -1)
+    ryy = np.stack([z[:, 0], cn[:, 0], z[:, 1], cn[:, 1], z[:, 2], cn[:, 2]], -1)
+    rxy = np.stack([cn[:, 0], bn[:, 0], cn[:, 1], bn[:, 1], cn[:, 2], bn[:, 2]], -1)
+    B = np.stack([rxx, ryy, rxy], -2)
+    Ke = np.einsum("mji,mjk,mkl->mil", B, D, B) * area[:, None, None]
+    return Ke, B, D, area
 
 
 def triangle_geometry(coords, triangles):
@@ -72,6 +111,13 @@ def element_stiffness(coords, triangles, D):
     B, area = triangle_geometry(coords, triangles)
     if D.ndim == 2:
         D = jnp.broadcast_to(D, (B.shape[0], 3, 3))
-    DB = jnp.einsum("mij,mjk->mik", D, B)
-    Ke = jnp.einsum("mji,mjk->mik", B, DB) * area[:, None, None]
+    # Precision.HIGHEST: TPU einsum otherwise lowers to bf16 MXU passes,
+    # which corrupts the stiffness (observed 7.5% displacement error).
+    DB = jnp.einsum(
+        "mij,mjk->mik", D, B, precision=jax.lax.Precision.HIGHEST
+    )
+    Ke = (
+        jnp.einsum("mji,mjk->mik", B, DB, precision=jax.lax.Precision.HIGHEST)
+        * area[:, None, None]
+    )
     return Ke, B, area

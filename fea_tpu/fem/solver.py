@@ -93,7 +93,15 @@ def pcg_solve(
     if block_inv is not None:
 
         def precondition(r):
-            return jnp.einsum("nij,nj->ni", block_inv, r) * free
+            return (
+                jnp.einsum(
+                    "nij,nj->ni",
+                    block_inv,
+                    r,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                * free
+            )
 
     else:
 

@@ -225,3 +225,33 @@ def test_padded_solve_matches_unpadded():
     )
     # padded tail is exactly zero
     assert np.abs(np.asarray(res_p.displacements)[:, mesh.num_nodes:]).max() == 0
+
+
+def test_solve_refined_cantilever_parity():
+    """Mixed-precision refinement (f32 inner CG + f64 host residuals)
+    reaches direct-solver parity even with f32 device kernels."""
+    from fea_tpu.datagen.pipeline import next_bucket
+    from fea_tpu.fem.problem import solve_refined
+
+    coords, tris = read_medit_mesh(f"{CANTILEVER_DIR}/cantilever.mesh")
+    gt = read_vtk(f"{CANTILEVER_DIR}/cantilever.vtk")["u"][:, :2]
+    candidate = coords[:, 0] < 0.01
+    fixed = _facet_constrained_nodes(coords, tris, candidate)
+    loads = np.zeros((len(coords), 2))
+    loads[3] = (0.0, -1000.0)
+    problem = StaticProblem(
+        coords=coords,
+        triangles=tris,
+        young=np.full(len(tris), 210000.0),
+        poisson=np.full(len(tris), 0.3),
+        fixed_nodes=fixed,
+        loads=loads,
+        num_steps=2,
+    )
+    res = solve_refined(
+        problem,
+        pad_buckets=(next_bucket(len(coords) + 3), next_bucket(len(tris))),
+    )
+    u = np.asarray(res.displacements[-1])
+    rel_mae = np.abs(u - gt).mean() / np.abs(gt).max()
+    assert rel_mae < 1e-8, f"relative MAE {rel_mae:.2e}"
