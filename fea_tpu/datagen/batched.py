@@ -90,6 +90,57 @@ def _failed_result(num_steps: int, n: int, m: int) -> SolveResult:
     )
 
 
+@partial(
+    jax.jit, static_argnames=("tol", "max_iters", "accept_tol", "restarts")
+)
+def _solve_multi_plate_kernel(
+    coords_p,  # (P, Nb, 2)
+    triangles_p,  # (P, Mb, 3)
+    slots_p,  # (P, 2*Nb, W)
+    young_pc,  # (P, C, Mb)
+    poisson_pc,
+    free_pc,  # (P, C, Nb)
+    loads_pc,  # (P, C, Nb, 2)
+    *,
+    tol: float,
+    max_iters: int,
+    accept_tol: float,
+    restarts: int,
+):
+    """Two-level vmap: plates (distinct meshes, same bucket) x conditions.
+    One dispatch + one fetch for a whole group of plates — the multi-chip
+    scale-out surface (shard the plate axis over a 'dp' mesh and XLA runs
+    each device's plates independently)."""
+
+    def single(coords, triangles, slots, young, poisson, free, loads):
+        res, eps1, sig1 = _solve_core(
+            coords, triangles, young, poisson, slots, free, loads,
+            tol, max_iters, accept_tol, restarts,
+        )
+        f32 = jnp.float32
+        return jnp.concatenate(
+            [
+                res.x.reshape(-1).astype(f32),
+                eps1.reshape(-1).astype(f32),
+                sig1.reshape(-1).astype(f32),
+                jnp.stack(
+                    [
+                        res.converged.astype(f32),
+                        res.failed.astype(f32),
+                        res.residual_norm.astype(f32),
+                        res.iterations.astype(f32),
+                    ]
+                ),
+            ]
+        )
+
+    inner = jax.vmap(single, in_axes=(None, None, None, 0, 0, 0, 0))
+    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    return outer(
+        coords_p, triangles_p, slots_p, young_pc, poisson_pc, free_pc, loads_pc
+    )
+
+
 class PlateSolver:
     """Per-plate solver with device-resident padded mesh scaffold."""
 
@@ -232,3 +283,258 @@ class PlateSolver:
 
     def failed_result(self) -> SolveResult:
         return _failed_result(self.num_steps, self.n, self.m)
+
+    @property
+    def shape_key(self):
+        return (self.node_bucket, self.tri_bucket, int(self.slots_dev.shape[1]))
+
+
+def solve_plate_group(
+    payloads,
+    tol=None,
+    max_iters: int = 6000,
+    sharding=None,
+):
+    """Solve all conditions of a group of same-bucket plates in ONE
+    dispatch + ONE fetch.
+
+    payloads: list of (PlateSolver, [StaticProblem, ...]) with equal
+    shape_key and equal condition counts. Optional `sharding`: a
+    jax.sharding.NamedSharding to distribute the plate axis over a device
+    mesh. Returns list-of-lists of SolveResult matching the input."""
+    solver0 = payloads[0][0]
+    for s, _ in payloads:
+        assert s.shape_key == solver0.shape_key
+
+    coords_p = jnp.stack([s.coords_dev for s, _ in payloads])
+    tris_p = jnp.stack([s.triangles_dev for s, _ in payloads])
+    slots_p = jnp.stack([s.slots_dev for s, _ in payloads])
+
+    young, poisson, free, loads = [], [], [], []
+    for s, problems in payloads:
+        arrays = [s._pad_condition_arrays(p) for p in problems]
+        young.append(np.stack([a[0] for a in arrays]))
+        poisson.append(np.stack([a[1] for a in arrays]))
+        free.append(np.stack([a[2] for a in arrays]))
+        loads.append(np.stack([a[3] for a in arrays]))
+    dtype = solver0.dtype
+    args = [
+        coords_p,
+        tris_p,
+        slots_p,
+        jnp.asarray(np.stack(young), dtype),
+        jnp.asarray(np.stack(poisson), dtype),
+        jnp.asarray(np.stack(free), dtype),
+        jnp.asarray(np.stack(loads), dtype),
+    ]
+    if sharding is not None:
+        args = [jax.device_put(a, sharding) for a in args]
+
+    token = _solve_multi_plate_kernel(
+        *args,
+        tol=solver0.tol if tol is None else tol,
+        max_iters=max_iters,
+        accept_tol=solver0.accept_tol,
+        restarts=solver0.restarts,
+    )
+    packed = np.asarray(token)  # ONE round trip for the whole group
+    out = []
+    for (s, problems), packed_plate in zip(payloads, packed):
+        results = []
+        for packed_cond in packed_plate[: len(problems)]:
+            r = unpack_solve(
+                packed_cond, s.node_bucket, s.tri_bucket, s.num_steps
+            )
+            results.append(
+                r._replace(
+                    displacements=r.displacements[:, : s.n],
+                    strain=r.strain[:, : s.m],
+                    stress=r.stress[:, : s.m],
+                )
+            )
+        out.append(results)
+    return out
+
+
+def generate_data_batched(
+    data_dir: str = "data/",
+    image_size: int = 512,
+    num_plates: int = 8,
+    conditions_per_plate: int = 4,
+    mesh_size: float = 1e-2,
+    num_polygons_range=(1, 3),
+    points_per_polygon_range=(3, 8),
+    holes_per_polygon_range=(0, 3),
+    points_per_hole_range=(3, 4),
+    num_regions=(1, 5),
+    save_displacement: bool = True,
+    save_strain: bool = False,
+    save_stress: bool = False,
+    num_steps_per_condition: int = 11,
+    save_meshes: bool = False,
+    seed=None,
+    batch_size: int = 8,
+    max_condition_retries: int = 30,
+    verbose: bool = True,
+) -> Dict:
+    """Multi-plate batched datagen: prepare `batch_size` plates on the
+    host, group them by compiled shape, and run each group's solves as a
+    single device program (BASELINE config 3 — 'batched datagen')."""
+    from timeit import default_timer as timer
+
+    from ..geometry import GeometryError, GeometrySampler
+    from ..mesh import MeshError, triangulate_polygon
+    from ..raster import build_pixel_map
+    from ..utils.device import enable_compilation_cache
+    from .conditions import ConditionSampler
+    from .pipeline import _write_condition
+    from .writers import verify_directory
+
+    enable_compilation_cache()
+    verify_directory(data_dir)
+    geometry_sampler = GeometrySampler(
+        num_polygons_range=num_polygons_range,
+        points_per_polygon_range=points_per_polygon_range,
+        holes_per_polygon_range=holes_per_polygon_range,
+        points_per_hole_range=points_per_hole_range,
+        random_seed=seed,
+    )
+    condition_sampler = ConditionSampler(
+        num_regions_range=num_regions,
+        random_seed=None if seed is None else seed + 1,
+    )
+
+    stats = {"plates": 0, "solves": 0, "failures": 0, "total_solve_time": 0.0}
+    plate_index = 0
+    while plate_index < num_plates:
+        chunk = min(batch_size, num_plates - plate_index)
+        # ---- host prep: meshes + non-singular conditions ---------------
+        payloads = []  # (plate_no, mesh, solver, [(condition, problem)])
+        while len(payloads) < chunk:
+            try:
+                polygon = geometry_sampler.generate()
+                mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
+            except (GeometryError, MeshError):
+                continue
+            solver = PlateSolver(mesh, num_steps_per_condition)
+            conditions = condition_sampler.sample(mesh, conditions_per_plate)
+            pairs = []
+            retries = 0
+            ok = True
+            for condition in conditions:
+                while True:
+                    problem = solver.build_problem(condition)
+                    if not problem.structurally_singular():
+                        pairs.append((condition, problem))
+                        break
+                    stats["solves"] += 1
+                    stats["failures"] += 1
+                    retries += 1
+                    if retries > max_condition_retries:
+                        ok = False
+                        break
+                    condition = condition_sampler.sample_one(mesh)
+                if not ok:
+                    break
+            if not ok:
+                continue  # redraw plate
+            payloads.append(
+                (plate_index + len(payloads) + 1, mesh, solver, pairs)
+            )
+
+        # ---- device: group by shape, one dispatch per group -------------
+        groups: Dict = {}
+        for entry in payloads:
+            groups.setdefault(entry[2].shape_key, []).append(entry)
+
+        results_by_plate: Dict = {}
+        t0 = timer()
+        for key, entries in groups.items():
+            group_payloads = [
+                (solver, [p for _, p in pairs])
+                for _, _, solver, pairs in entries
+            ]
+            solved = solve_plate_group(group_payloads)
+            for (plate_no, mesh, solver, pairs), results in zip(
+                entries, solved
+            ):
+                results_by_plate[plate_no] = (mesh, solver, pairs, results)
+        stats["total_solve_time"] += timer() - t0
+        stats["solves"] += sum(len(p[3]) for p in payloads)
+
+        # ---- failures: resample + single-plate batch retries ------------
+        for plate_no, (mesh, solver, pairs, results) in results_by_plate.items():
+            retries = 0
+            while any(not r.success for r in results):
+                retry_idx = [i for i, r in enumerate(results) if not r.success]
+                stats["failures"] += len(retry_idx)
+                retries += len(retry_idx)
+                if retries > max_condition_retries:
+                    break
+                new_pairs = []
+                for i in retry_idx:
+                    while True:
+                        condition = condition_sampler.sample_one(mesh)
+                        problem = solver.build_problem(condition)
+                        if not problem.structurally_singular():
+                            break
+                        stats["failures"] += 1
+                        retries += 1
+                    pairs[i] = (condition, problem)
+                    new_pairs.append(problem)
+                t0 = timer()
+                token = solver.dispatch_batch(
+                    new_pairs + [new_pairs[-1]]
+                    * (conditions_per_plate - len(new_pairs))
+                )
+                retry_results = solver.fetch_batch(token)[: len(new_pairs)]
+                stats["total_solve_time"] += timer() - t0
+                stats["solves"] += len(new_pairs)
+                for i, r in zip(retry_idx, retry_results):
+                    results[i] = r
+
+            # ---- write ---------------------------------------------------
+            if any(not r.success for r in results):
+                if verbose:
+                    print(f"abandoning plate {plate_no} (unsatisfiable)")
+                continue
+            pixel_map = build_pixel_map(
+                mesh.coords, mesh.triangles, image_size, pad_candidates=64
+            )
+            import os
+
+            plate_dir = os.path.join(data_dir, str(plate_no))
+            from .writers import save_gray_png
+            from ..raster import geometry_image, outline_image
+
+            verify_directory(plate_dir)
+            save_gray_png(
+                os.path.join(plate_dir, "outline.png"),
+                outline_image(pixel_map, mesh.coords, mesh.ring_corner_ids),
+            )
+            save_gray_png(
+                os.path.join(plate_dir, "input.png"), geometry_image(pixel_map)
+            )
+            for slot, ((condition, _), result) in enumerate(zip(pairs, results)):
+                condition_dir = os.path.join(plate_dir, str(slot + 1))
+                verify_directory(condition_dir)
+                _write_condition(
+                    mesh,
+                    pixel_map,
+                    condition,
+                    result,
+                    condition_dir,
+                    num_steps_per_condition,
+                    save_displacement,
+                    save_strain,
+                    save_stress,
+                    save_meshes,
+                )
+            stats["plates"] += 1
+        plate_index += chunk
+        if verbose:
+            print(
+                f"chunk done: {stats['plates']} plates, "
+                f"solve time {stats['total_solve_time']:.1f}s"
+            )
+    return stats

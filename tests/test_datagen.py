@@ -116,3 +116,33 @@ def test_generate_data_end_to_end(tmp_path):
         lo, hi = eval(lines[0][1])
         assert lo == pytest.approx(u1[:, 0].min(), rel=1e-6, abs=1e-12)
         assert hi == pytest.approx(u1[:, 0].max(), rel=1e-6, abs=1e-12)
+
+
+def test_generate_data_batched(tmp_path):
+    from fea_tpu.datagen.batched import generate_data_batched
+
+    data_dir = str(tmp_path / "bdata")
+    stats = generate_data_batched(
+        data_dir=data_dir,
+        image_size=96,
+        num_plates=3,
+        conditions_per_plate=2,
+        mesh_size=0.06,
+        holes_per_polygon_range=(0, 1),
+        num_steps_per_condition=3,
+        save_meshes=True,
+        seed=42,
+        batch_size=2,
+        verbose=False,
+    )
+    assert stats["plates"] == 3
+    for plate in ("1", "2", "3"):
+        assert os.path.isfile(os.path.join(data_dir, plate, "input.png"))
+        for cond in ("1", "2"):
+            cdir = os.path.join(data_dir, plate, cond)
+            assert os.path.isfile(os.path.join(cdir, "magnitudes.txt"))
+            assert os.path.isfile(
+                os.path.join(cdir, "outputs_displacement_x.png")
+            )
+            u1 = read_vtk(os.path.join(cdir, "domain.1.vtk"))["u"]
+            assert np.isfinite(u1).all()
