@@ -86,7 +86,10 @@ class TrainerConfig:
 
 
 class Trainer:
-    def __init__(self, config: TrainerConfig):
+    def __init__(self, config: TrainerConfig, dataset=None, sample_dataset=None):
+        """`dataset` / `sample_dataset` override the folder-backed
+        FEADataset with any compatible dataset (e.g. the in-memory fused
+        pipeline, fea_tpu.data.arrays.InMemoryFEADataset)."""
         assert not (config.disable_auxiliary and config.only_auxiliary), (
             "Cannot disable and only use auxiliary"
         )
@@ -106,19 +109,23 @@ class Trainer:
         )
 
         # Datasets
-        self.dataset = FEADataset(
+        self.dataset = dataset if dataset is not None else FEADataset(
             config.dataset_folder,
             image_size=config.dataset_image_size,
             conditions_per_plate=config.conditions_per_plate,
             num_steps=config.num_steps_per_condition,
             start_plate_index=config.train_start_plate_index,
         )
-        self.sample_dataset = FEADataset(
-            config.sample_dataset_folder,
-            image_size=config.dataset_image_size,
-            conditions_per_plate=config.num_sample_conditions_per_plate,
-            num_steps=config.num_steps_per_sample_condition,
-            start_plate_index=config.sample_start_plate_index,
+        self.sample_dataset = (
+            sample_dataset
+            if sample_dataset is not None
+            else FEADataset(
+                config.sample_dataset_folder,
+                image_size=config.dataset_image_size,
+                conditions_per_plate=config.num_sample_conditions_per_plate,
+                num_steps=config.num_steps_per_sample_condition,
+                start_plate_index=config.sample_start_plate_index,
+            )
         )
         if not config.skip_dataset_size_check:
             assert len(self.dataset) >= 100, (

@@ -137,3 +137,35 @@ def test_fdnunet_time_embedding_mode():
     variables = model.init(rng, x, cond, time=t)
     out = model.apply(variables, x, cond, time=t)
     assert out.shape == (1, S, S, 2)
+
+
+def test_diffusion_mode_loss_and_sampling():
+    from fea_tpu.models.diffusion import make_diffusion_model
+
+    S = 16
+    diffusion = make_diffusion_model(
+        image_size=S,
+        input_dim=16,
+        num_stages=2,
+        timesteps=8,
+        attention_head_dim=8,
+        num_attention_heads=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = diffusion.init(rng, S, batch=2)
+    params = variables["params"]
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (2, S, S, 2))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, S, S, 5))
+    loss = diffusion.loss(params, jax.random.PRNGKey(3), x0, cond)
+    assert np.isfinite(float(loss))
+
+    grads = jax.grad(
+        lambda p: diffusion.loss(p, jax.random.PRNGKey(4), x0, cond)
+    )(params)
+    gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+    samples = diffusion.sample(params, jax.random.PRNGKey(5), cond, 4)
+    assert samples.shape == (2, S, S, 2)
+    assert np.isfinite(np.asarray(samples)).all()

@@ -126,3 +126,77 @@ def test_trainer_smoke_and_checkpoint(tiny_dataset, tmp_path):
     leaves2 = jax.tree.leaves(p2)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_in_memory_fused_pipeline(tmp_path):
+    """Datagen -> training tensors with no filesystem round trip, driving
+    one real train step through the Trainer."""
+    from fea_tpu.data.arrays import InMemoryFEADataset
+
+    ds = InMemoryFEADataset.generate(
+        num_plates=1,
+        conditions_per_plate=2,
+        num_steps=3,
+        image_size=32,
+        mesh_size=0.08,
+        seed=9,
+        holes_per_polygon_range=(0, 0),
+    )
+    assert len(ds) == 2 * 2  # conditions * (steps-1)
+    s = ds[0]
+    assert s["geometry"].shape == (32, 32, 1)
+    assert s["displacement"].shape == (32, 32, 2)
+    assert s["materials"].shape == (32, 32, 2)
+    assert np.isfinite(s["displacement_range"]).all()
+    # step-1 forces are zero (the (step-1)/num_steps scaling quirk)
+    assert np.abs(s["forces"]).max() == 0.0
+
+    config = TrainerConfig(
+        dataset_folder="unused",
+        sample_dataset_folder="unused",
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=1,
+        num_steps_per_milestone=100,
+        num_steps_per_soft_milestone=100,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        results_folder=str(tmp_path),
+        skip_dataset_size_check=True,
+        input_dim=16,
+    )
+    trainer = Trainer(config, dataset=ds, sample_dataset=ds)
+    losses = []
+    trainer.train(wandb_inject_function=lambda s, l, *a: losses.append(l))
+    assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_log_parsing_and_plotting(tmp_path):
+    from fea_tpu.utils.logs import parse_train_log, plot_training_curves
+
+    log = tmp_path / "train-test.log"
+    log.write_text(
+        "2026-01-01 00:00:00 step: 0, loss: 1.5\n"
+        "2026-01-01 00:00:01 step: 1, loss: 1.2\n"
+        "2026-01-01 00:00:02 sample loss: 1.1\n"
+        "2026-01-01 00:00:03 step: 2, loss: 0.9\n"
+    )
+    data = parse_train_log(str(log))
+    assert data["steps"].tolist() == [0, 1, 2]
+    assert data["sample_losses"].tolist() == [1.1]
+    out = plot_training_curves(str(log))
+    assert os.path.isfile(out)
+
+
+def test_stage_timer():
+    from fea_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.summary()
