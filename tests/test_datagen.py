@@ -146,3 +146,55 @@ def test_generate_data_batched(tmp_path):
             )
             u1 = read_vtk(os.path.join(cdir, "domain.1.vtk"))["u"]
             assert np.isfinite(u1).all()
+
+
+def test_solve_plate_group_sharded_over_mesh():
+    """Multi-chip datagen surface: the grouped solve sharded over a 'dp'
+    device mesh (8 virtual CPU devices) matches the unsharded result."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fea_tpu.datagen.batched import PlateSolver, solve_plate_group
+    from fea_tpu.datagen.conditions import ConditionSampler
+    from fea_tpu.parallel.mesh import make_mesh
+
+    sampler = ConditionSampler(random_seed=11)
+    payloads = []
+    # 8 plates (one per device), same bucket by construction (same mesh_size)
+    meshes = []
+    for i in range(8):
+        mesh = triangulate(UNIT_SQUARE, mesh_size=0.14 if i % 2 else 0.145)
+        meshes.append(mesh)
+    keys = set()
+    for mesh in meshes:
+        solver = PlateSolver(mesh, num_steps=2)
+        keys.add(solver.shape_key)
+        condition = None
+        for _ in range(50):
+            c = sampler.sample_one(mesh)
+            p = solver.build_problem(c)
+            if not p.structurally_singular():
+                condition = (c, p)
+                break
+        assert condition is not None
+        payloads.append((solver, [condition[1]]))
+    assert len(keys) == 1, f"meshes landed in different buckets: {keys}"
+
+    base = solve_plate_group(payloads)
+    mesh_dp = make_mesh(8)
+    sharding = NamedSharding(mesh_dp, P("dp"))
+    sharded = solve_plate_group(payloads, sharding=sharding)
+    compared = 0
+    for b_res, s_res in zip(base, sharded):
+        b, s = b_res[0], s_res[0]
+        # hinge-mechanism conditions (undetectable by the structural
+        # check) legitimately fail on both paths; compare only solves
+        # that converge on both.
+        if not (b.success and s.success):
+            continue
+        bu = np.asarray(b.displacements)
+        su = np.asarray(s.displacements)
+        scale = max(np.abs(bu).max(), 1e-12)
+        assert np.abs(bu - su).max() / scale < 1e-4
+        compared += 1
+    assert compared >= 3, f"only {compared} mutually-converged plates"
