@@ -200,6 +200,7 @@ def _cmd_sample(args):
         num_sample_conditions_per_plate=args.num_sample_conditions_per_plate,
         results_folder=args.results_dir,
         skip_dataset_size_check=True,
+        inference_only=True,
     )
     trainer = Trainer(config)
     trainer.load_checkpoint(args.milestone)
@@ -248,12 +249,13 @@ def _add_app(sub):
 def _cmd_app(args):
     from .apps.runner import run_application
 
-    run_application(
+    out = run_application(
         args.name,
         output_dir=args.output_dir,
         image_size=args.image_size,
         checkpoint=args.checkpoint,
     )
+    print(out)
 
 
 def main(argv=None):

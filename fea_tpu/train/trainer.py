@@ -82,6 +82,7 @@ class TrainerConfig:
     seed: int = 0
     n_devices: Optional[int] = None
     skip_dataset_size_check: bool = False
+    inference_only: bool = False  # sampling CLI: no effective-batch floor
     param_dtype: Any = jnp.float32
 
 
@@ -95,7 +96,7 @@ class Trainer:
         )
         assert config.num_steps_per_condition >= 2
         assert config.num_steps_per_sample_condition >= 2
-        assert (
+        assert config.inference_only or (
             config.train_batch_size * config.num_gradient_accumulation_steps >= 16
         ), "effective batch size (batch x grad accum) must be at least 16"
         assert config.loss_type in ("l1", "l2")
