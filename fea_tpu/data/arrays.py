@@ -172,7 +172,7 @@ class InMemoryFEADataset:
                 continue
             solver = PlateSolver(mesh, num_steps)
             pixel_map = build_pixel_map(
-                mesh.coords, mesh.triangles, image_size, pad_candidates=64
+                mesh.coords, mesh.triangles, image_size, pad_candidates=32
             )
             got = 0
             retries = 0

@@ -294,6 +294,7 @@ def solve_plate_group(
     tol=None,
     max_iters: int = 6000,
     sharding=None,
+    pad_group_to: int = 0,
 ):
     """Solve all conditions of a group of same-bucket plates in ONE
     dispatch + ONE fetch.
@@ -301,7 +302,12 @@ def solve_plate_group(
     payloads: list of (PlateSolver, [StaticProblem, ...]) with equal
     shape_key and equal condition counts. Optional `sharding`: a
     jax.sharding.NamedSharding to distribute the plate axis over a device
-    mesh. Returns list-of-lists of SolveResult matching the input."""
+    mesh. `pad_group_to` repeats the last payload so every group compiles
+    at one fixed plate count. Returns list-of-lists of SolveResult
+    matching the (unpadded) input."""
+    n_real = len(payloads)
+    if pad_group_to > n_real:
+        payloads = payloads + [payloads[-1]] * (pad_group_to - n_real)
     solver0 = payloads[0][0]
     for s, _ in payloads:
         assert s.shape_key == solver0.shape_key
@@ -339,7 +345,7 @@ def solve_plate_group(
     )
     packed = np.asarray(token)  # ONE round trip for the whole group
     out = []
-    for (s, problems), packed_plate in zip(payloads, packed):
+    for (s, problems), packed_plate in zip(payloads[:n_real], packed[:n_real]):
         results = []
         for packed_cond in packed_plate[: len(problems)]:
             r = unpack_solve(
@@ -454,7 +460,14 @@ def generate_data_batched(
                 (solver, [p for _, p in pairs])
                 for _, _, solver, pairs in entries
             ]
-            solved = solve_plate_group(group_payloads)
+            # Pad to half/full chunk sizes so group shapes (and compiles)
+            # are bounded.
+            pad_to = len(group_payloads)
+            for candidate in (1, 2, 4, batch_size):
+                if candidate >= pad_to:
+                    pad_to = candidate
+                    break
+            solved = solve_plate_group(group_payloads, pad_group_to=pad_to)
             for (plate_no, mesh, solver, pairs), results in zip(
                 entries, solved
             ):
@@ -499,7 +512,7 @@ def generate_data_batched(
                     print(f"abandoning plate {plate_no} (unsatisfiable)")
                 continue
             pixel_map = build_pixel_map(
-                mesh.coords, mesh.triangles, image_size, pad_candidates=64
+                mesh.coords, mesh.triangles, image_size, pad_candidates=32
             )
             import os
 

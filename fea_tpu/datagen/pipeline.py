@@ -267,7 +267,7 @@ def generate_data(
 
         conditions = condition_sampler.sample(mesh, conditions_per_plate)
         pixel_map = build_pixel_map(
-            mesh.coords, mesh.triangles, image_size, pad_candidates=64
+            mesh.coords, mesh.triangles, image_size, pad_candidates=32
         )
 
         plate_dir = os.path.join(data_dir, str(plate_index + 1))

@@ -42,10 +42,13 @@ def append_region_value(path: str, region_name: str, value: Tuple) -> None:
 
 
 def save_gray_png(path: str, img: np.ndarray) -> None:
-    """Write a grayscale uint8 array as RGB PNG (the renderer produced RGB;
-    the dataset loader grayscales it back)."""
+    """Write a grayscale uint8 PNG (mode L, fast compression).
+
+    The reference's renderer wrote RGB; its dataset loader grayscales
+    immediately (diffusion.py:121), so L-mode files are drop-in and 3x
+    smaller/faster to encode."""
     arr = np.asarray(img, dtype=np.uint8)
-    Image.fromarray(np.stack([arr] * 3, axis=-1), mode="RGB").save(path)
+    Image.fromarray(arr, mode="L").save(path, compress_level=1)
 
 
 def domain_vtk_name(step: int, num_steps: int) -> str:

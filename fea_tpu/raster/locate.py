@@ -124,7 +124,7 @@ def build_pixel_map(
     triangles: np.ndarray,
     image_size: int,
     frame: Optional[Frame] = None,
-    cell_px: int = 16,
+    cell_px: int = 8,
     pad_candidates: int = 0,
 ) -> PixelMap:
     """Locate every pixel center in the mesh. O(pixels * candidates).
