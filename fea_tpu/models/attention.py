@@ -71,11 +71,14 @@ class LinearAttention(nn.Module):
 
 class FullAttention(nn.Module):
     """Full softmax attention over flattened pixels with memory KV
-    (fdnunet.py:332-378)."""
+    (fdnunet.py:332-378). `use_flash` switches the einsum-softmax chain
+    for the Pallas tiled flash kernel (the reference's CUDA flash/math
+    switch, attentionutils.py:29-64)."""
 
     num_heads: int = 4
     head_dim: int = 32
     num_memory_kv: int = 4
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -102,8 +105,20 @@ class FullAttention(nn.Module):
         k = jnp.concatenate([mk, k], axis=-2)
         v = jnp.concatenate([mv, v], axis=-2)
 
-        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (self.head_dim**-0.5)
-        weights = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+        if self.use_flash:
+            from ..ops import flash_attention
+
+            n_kv = k.shape[2]
+            out = flash_attention(
+                q.reshape(b * self.num_heads, h * w, self.head_dim),
+                k.reshape(b * self.num_heads, n_kv, self.head_dim),
+                v.reshape(b * self.num_heads, n_kv, self.head_dim),
+            ).reshape(b, self.num_heads, h * w, self.head_dim)
+        else:
+            scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (
+                self.head_dim**-0.5
+            )
+            weights = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, hd)
         return nn.Conv(c, (1, 1))(out)

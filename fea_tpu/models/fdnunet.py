@@ -234,6 +234,7 @@ class FDNUNet(nn.Module):
     attention_head_dim: int = 32
     num_attention_heads: int = 4
     use_full_attention: bool = False
+    use_flash_attention: bool = False
     use_time_embedding: bool = False
 
     @property
@@ -272,8 +273,14 @@ class FDNUNet(nn.Module):
         )(x_auxiliary_condition)
 
         def attn(use_full, dim, name):
-            cls = FullAttention if use_full else LinearAttention
-            return cls(
+            if use_full:
+                return FullAttention(
+                    num_heads=self.num_attention_heads,
+                    head_dim=self.attention_head_dim,
+                    use_flash=self.use_flash_attention,
+                    name=name,
+                )
+            return LinearAttention(
                 num_heads=self.num_attention_heads,
                 head_dim=self.attention_head_dim,
                 name=name,

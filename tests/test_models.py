@@ -169,3 +169,46 @@ def test_diffusion_mode_loss_and_sampling():
     samples = diffusion.sample(params, jax.random.PRNGKey(5), cond, 4)
     assert samples.shape == (2, S, S, 2)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_flash_attention_matches_einsum():
+    """Pallas flash attention (interpret mode on CPU) matches the plain
+    softmax einsum path, including non-tile-multiple KV lengths (memory
+    KV slots)."""
+    from fea_tpu.ops import flash_attention
+
+    rng = np.random.default_rng(0)
+    bh, nq, nk, d = 3, 100, 68, 32
+    q = jnp.asarray(rng.normal(size=(bh, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(bh, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(bh, nk, d)), jnp.float32)
+
+    out = flash_attention(q, k, v, block_q=32, block_k=32, interpret=True)
+
+    scores = jnp.einsum("bnd,bmd->bnm", q, k) * (d**-0.5)
+    ref = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(scores, axis=-1), v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fdnunet_flash_attention_variant():
+    S = 32
+    outs = []
+    for flash in (False, True):
+        model = FDNUNet(
+            input_dim=16,
+            num_stages=2,
+            num_channels=2,
+            num_auxiliary_condition_channels=3,
+            attention_head_dim=8,
+            num_attention_heads=2,
+            use_flash_attention=flash,
+        )
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, 2))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (1, S, S, 3))
+        variables = model.init(rng, x, cond)
+        outs.append(np.asarray(model.apply(variables, x, cond)))
+    # same params (same init RNG), flash vs math attention agree
+    np.testing.assert_allclose(outs[0], outs[1], atol=5e-4)
