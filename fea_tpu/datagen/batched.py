@@ -31,7 +31,10 @@ from .pipeline import next_bucket
 
 
 @partial(
-    jax.jit, static_argnames=("tol", "max_iters", "accept_tol", "restarts")
+    jax.jit,
+    static_argnames=(
+        "tol", "max_iters", "accept_tol", "restarts", "include_cell_fields",
+    ),
 )
 def _solve_batch_kernel(
     coords,
@@ -46,6 +49,7 @@ def _solve_batch_kernel(
     max_iters: int,
     accept_tol: float,
     restarts: int,
+    include_cell_fields: bool = True,
 ):
     """vmap of the packed solve over conditions sharing one mesh scaffold.
     One dispatch + one fetch for a whole batch of conditions (or plates of
@@ -57,21 +61,22 @@ def _solve_batch_kernel(
             tol, max_iters, accept_tol, restarts,
         )
         f32 = jnp.float32
-        return jnp.concatenate(
-            [
-                res.x.reshape(-1).astype(f32),
-                eps1.reshape(-1).astype(f32),
-                sig1.reshape(-1).astype(f32),
-                jnp.stack(
-                    [
-                        res.converged.astype(f32),
-                        res.failed.astype(f32),
-                        res.residual_norm.astype(f32),
-                        res.iterations.astype(f32),
-                    ]
-                ),
+        parts = [res.x.reshape(-1).astype(f32)]
+        if include_cell_fields:
+            parts += [
+                eps1.reshape(-1).astype(f32), sig1.reshape(-1).astype(f32)
             ]
+        parts.append(
+            jnp.stack(
+                [
+                    res.converged.astype(f32),
+                    res.failed.astype(f32),
+                    res.residual_norm.astype(f32),
+                    res.iterations.astype(f32),
+                ]
+            )
         )
+        return jnp.concatenate(parts)
 
     return jax.vmap(single)(young_b, poisson_b, free_b, loads_b)
 
@@ -91,7 +96,10 @@ def _failed_result(num_steps: int, n: int, m: int) -> SolveResult:
 
 
 @partial(
-    jax.jit, static_argnames=("tol", "max_iters", "accept_tol", "restarts")
+    jax.jit,
+    static_argnames=(
+        "tol", "max_iters", "accept_tol", "restarts", "include_cell_fields",
+    ),
 )
 def _solve_multi_plate_kernel(
     coords_p,  # (P, Nb, 2)
@@ -106,6 +114,7 @@ def _solve_multi_plate_kernel(
     max_iters: int,
     accept_tol: float,
     restarts: int,
+    include_cell_fields: bool = True,
 ):
     """Two-level vmap: plates (distinct meshes, same bucket) x conditions.
     One dispatch + one fetch for a whole group of plates — the multi-chip
@@ -118,21 +127,22 @@ def _solve_multi_plate_kernel(
             tol, max_iters, accept_tol, restarts,
         )
         f32 = jnp.float32
-        return jnp.concatenate(
-            [
-                res.x.reshape(-1).astype(f32),
-                eps1.reshape(-1).astype(f32),
-                sig1.reshape(-1).astype(f32),
-                jnp.stack(
-                    [
-                        res.converged.astype(f32),
-                        res.failed.astype(f32),
-                        res.residual_norm.astype(f32),
-                        res.iterations.astype(f32),
-                    ]
-                ),
+        parts = [res.x.reshape(-1).astype(f32)]
+        if include_cell_fields:
+            parts += [
+                eps1.reshape(-1).astype(f32), sig1.reshape(-1).astype(f32)
             ]
+        parts.append(
+            jnp.stack(
+                [
+                    res.converged.astype(f32),
+                    res.failed.astype(f32),
+                    res.residual_norm.astype(f32),
+                    res.iterations.astype(f32),
+                ]
+            )
         )
+        return jnp.concatenate(parts)
 
     inner = jax.vmap(single, in_axes=(None, None, None, 0, 0, 0, 0))
     outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, 0))
@@ -153,6 +163,7 @@ class PlateSolver:
         max_iters: int = 6000,
         accept_tol: float = 1e-4,
         restarts: Optional[int] = None,
+        include_cell_fields: bool = True,
     ):
         self.mesh = mesh
         self.num_steps = num_steps
@@ -171,6 +182,7 @@ class PlateSolver:
         self.restarts = restarts if restarts is not None else (
             1 if self.dtype == jnp.float64 else 6
         )
+        self.include_cell_fields = include_cell_fields
 
         # Build the padded scaffold once from a dummy condition.
         scaffold = StaticProblem(
@@ -221,6 +233,7 @@ class PlateSolver:
             max_iters=self.max_iters,
             accept_tol=self.accept_tol,
             restarts=self.restarts,
+            include_cell_fields=self.include_cell_fields,
         )
 
     def fetch(self, token) -> SolveResult:
@@ -263,6 +276,7 @@ class PlateSolver:
             max_iters=self.max_iters,
             accept_tol=self.accept_tol,
             restarts=self.restarts,
+            include_cell_fields=self.include_cell_fields,
         )
 
     def fetch_batch(self, token) -> List[SolveResult]:
@@ -342,6 +356,7 @@ def solve_plate_group(
         max_iters=max_iters,
         accept_tol=solver0.accept_tol,
         restarts=solver0.restarts,
+        include_cell_fields=solver0.include_cell_fields,
     )
     packed = np.asarray(token)  # ONE round trip for the whole group
     out = []

@@ -289,6 +289,7 @@ def generate_data(
             num_steps_per_condition,
             tol=solver_tol,
             max_iters=solver_max_iters,
+            include_cell_fields=(save_strain or save_stress or save_meshes),
         )
 
         def nonsingular_condition(condition, retries_box):

@@ -335,7 +335,10 @@ def _solve_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("tol", "max_iters", "accept_tol", "restarts")
+    jax.jit,
+    static_argnames=(
+        "tol", "max_iters", "accept_tol", "restarts", "include_cell_fields",
+    ),
 )
 def _solve_kernel_packed(
     coords,
@@ -350,31 +353,33 @@ def _solve_kernel_packed(
     max_iters: int,
     accept_tol: float = 1e-4,
     restarts: int = 1,
+    include_cell_fields: bool = True,
 ):
     """Single-step solve packed into one flat f32 vector:
     [u1 (2N), eps1 (3M), sig1 (3M), converged, failed, rnorm, iters].
     One device->host fetch instead of one per field — on high-latency
-    links (tunneled TPUs) per-fetch round trips dominate the solve."""
+    links (tunneled TPUs) per-fetch round trips dominate the solve.
+    include_cell_fields=False drops strain/stress from the payload
+    (datagen without --save_strain/--save_stress: ~4x less traffic)."""
     res, eps1, sig1 = _solve_core(
         coords, triangles, young, poisson, incidence_slots, free_nodes, loads,
         tol, max_iters, accept_tol, restarts,
     )
     f32 = jnp.float32
-    return jnp.concatenate(
-        [
-            res.x.reshape(-1).astype(f32),
-            eps1.reshape(-1).astype(f32),
-            sig1.reshape(-1).astype(f32),
-            jnp.stack(
-                [
-                    res.converged.astype(f32),
-                    res.failed.astype(f32),
-                    res.residual_norm.astype(f32),
-                    res.iterations.astype(f32),
-                ]
-            ),
-        ]
+    parts = [res.x.reshape(-1).astype(f32)]
+    if include_cell_fields:
+        parts += [eps1.reshape(-1).astype(f32), sig1.reshape(-1).astype(f32)]
+    parts.append(
+        jnp.stack(
+            [
+                res.converged.astype(f32),
+                res.failed.astype(f32),
+                res.residual_norm.astype(f32),
+                res.iterations.astype(f32),
+            ]
+        )
     )
+    return jnp.concatenate(parts)
 
 
 def solve_refined(
@@ -462,9 +467,15 @@ def unpack_solve(packed: np.ndarray, n: int, m: int, num_steps: int) -> SolveRes
     per-step SolveResult (linear problem: u(t_k) = t_k * u1)."""
     packed = np.asarray(packed)
     u1 = packed[: 2 * n].reshape(n, 2)
-    eps1 = packed[2 * n : 2 * n + 3 * m].reshape(m, 3)
-    sig1 = packed[2 * n + 3 * m : 2 * n + 6 * m].reshape(m, 3)
-    converged, failed, rnorm, iters = packed[2 * n + 6 * m :]
+    if len(packed) >= 2 * n + 6 * m + 4:
+        eps1 = packed[2 * n : 2 * n + 3 * m].reshape(m, 3)
+        sig1 = packed[2 * n + 3 * m : 2 * n + 6 * m].reshape(m, 3)
+        tail = packed[2 * n + 6 * m :]
+    else:  # cell fields omitted from the payload
+        eps1 = np.zeros((m, 3))
+        sig1 = np.zeros((m, 3))
+        tail = packed[2 * n :]
+    converged, failed, rnorm, iters = tail
     t = np.linspace(0.0, 1.0, num_steps)
     return SolveResult(
         displacements=t[:, None, None] * u1[None],
