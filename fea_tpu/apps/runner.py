@@ -217,7 +217,7 @@ def predict_with_surrogate(
     (generateapplication.ipynb cells 8-18) and score it."""
     import jax.numpy as jnp
 
-    from ..data.dataset import FEADataset, to_signed
+    from ..data.dataset import to_signed
     from ..train.trainer import Trainer, TrainerConfig
 
     # Build model inputs with the dataset normalization contract.
@@ -329,5 +329,24 @@ def predict_with_surrogate(
         os.path.join(output_dir, "geometry.png"),
         image_size=model_size,
         clip=decode_scale,
+    )
+
+    # Write predictions back onto the mesh as a VTK (the reference's
+    # save_pred_disp_mesh notebook, test_nbs/save_pred_disp_mesh.ipynb).
+    from ..metrics.accuracy import predicted_displacement_at_nodes
+
+    pred_nodes = predicted_displacement_at_nodes(
+        mesh.coords,
+        os.path.join(output_dir, "predicted_displacement_x.png"),
+        os.path.join(output_dir, "predicted_displacement_y.png"),
+        os.path.join(output_dir, "geometry.png"),
+        image_size=model_size,
+        decode_scale=decode_scale,
+    )
+    write_vtk(
+        os.path.join(output_dir, "predicted.vtk"),
+        mesh.coords,
+        mesh.triangles,
+        point_data={"u": pred_nodes},
     )
     return {"pred_mae": mae, "pred_mse": mse, "pred_rmse": rmse}

@@ -7,7 +7,6 @@ test_nbs/generateapplication.ipynb) as subcommands of one CLI.
 
 import argparse
 import os
-import sys
 
 
 def _enable_compilation_cache():

@@ -10,7 +10,7 @@ the solve across them — the multi-plate scale-out surface for larger
 meshes of devices.
 """
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ generate.py:79-157 + fea_analysis.py:472-613):
 """
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

@@ -17,7 +17,7 @@ Faithfully reproduces the reference FEAnalysis semantics
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ under jit/vmap, reports convergence + NaN flags that feed the host-side
 condition-resampling loop (reference datagen/generate.py:110-124).
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

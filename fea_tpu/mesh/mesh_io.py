@@ -3,7 +3,7 @@ pipeline) and legacy VTK (sfepy/meshio ground-truth files consumed by the
 reference metrics — metrics/accuracy_function.py:10,172)."""
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

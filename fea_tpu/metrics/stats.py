@@ -5,7 +5,6 @@ solved VTK files for the displacement distribution — the basis of the
 +-0.05 clip/decode range used across metrics and app sampling."""
 
 import os
-from pathlib import Path
 from typing import Dict
 
 import numpy as np

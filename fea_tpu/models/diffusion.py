@@ -11,7 +11,7 @@ with jit-compiled training losses and a lax.scan ancestral/DDIM sampler.
 """
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

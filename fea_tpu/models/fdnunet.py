@@ -13,7 +13,7 @@ Channel plan for the default config (input_dim=64, 4 stages):
   aux: middle flattened -> MLP -> (sigmoid sign head, log head)
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

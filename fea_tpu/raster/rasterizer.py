@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .locate import Frame, PixelMap
+from .locate import PixelMap
 
 
 def scalar_range(values) -> Tuple[float, float]:

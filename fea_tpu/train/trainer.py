@@ -22,9 +22,8 @@ import logging
 import os
 import shutil
 import zipfile
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -475,6 +474,11 @@ class Trainer:
         )
 
     # --------------------------------------------------------- checkpoints
+    # The reference's legacy .pt path (old_save_checkpoint /
+    # old_load_checkpoint, diffusion.py:599-610, 670-689) existed to read
+    # torch pickles from its earlier runs; it has no JAX analog and is
+    # intentionally not carried over — orbax directories (+ zip artifacts)
+    # are the only checkpoint format here.
     def _ckpt_dir(self, milestone) -> Path:
         return self.results_folder / f"model-{milestone}"
 
