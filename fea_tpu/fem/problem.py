@@ -209,12 +209,24 @@ class StaticProblem:
         accept_tol: float = 1e-4,
         restarts: Optional[int] = None,
         packed: bool = False,
+        per_step_solves: bool = False,
     ) -> SolveResult:
         """`tol` defaults by dtype: 1e-10 (f64) / 1e-6 (f32, the dtype's
         attainable floor). `accept_tol` is the success threshold on the true
         relative residual — looser than `tol`, because the reference only
         rejects solves that go NaN (fea_analysis.py:455-461), not ones that
-        merely stop short of machine precision."""
+        merely stop short of machine precision.
+
+        `per_step_solves=True` runs one CG solve per load step with the
+        ramped RHS force(t_k) = t_k * loads — the reference's
+        SimpleTimeSteppingSolver behavior (fea_analysis.py:425-432) kept
+        for parity testing; the default exploits linearity (u(t) = t*u(1),
+        one solve)."""
+        if per_step_solves:
+            return self._solve_per_step(
+                tol=tol, max_iters=max_iters, dtype=dtype,
+                accept_tol=accept_tol, restarts=restarts,
+            )
         dtype = jnp.dtype(dtype)
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             dtype = jnp.dtype(jnp.float32)
@@ -253,6 +265,33 @@ class StaticProblem:
         )
         return res
 
+    def _solve_per_step(self, **solve_kw) -> SolveResult:
+        """Independent solve per ramp step (parity mode)."""
+        steps = []
+        t_values = np.linspace(0.0, 1.0, self.num_steps)
+        base_loads = self.loads
+        for t in t_values:
+            stepped = StaticProblem(
+                coords=self.coords,
+                triangles=self.triangles,
+                young=self.young,
+                poisson=self.poisson,
+                fixed_nodes=self.fixed_nodes,
+                loads=base_loads * t,
+                num_steps=2,
+            )
+            steps.append(stepped.solve(**solve_kw))
+        return SolveResult(
+            displacements=jnp.stack([s.displacements[-1] for s in steps]),
+            strain=jnp.stack([s.strain[-1] for s in steps]),
+            stress=jnp.stack([s.stress[-1] for s in steps]),
+            converged=jnp.all(jnp.stack([s.converged for s in steps])),
+            failed=jnp.any(jnp.stack([s.failed for s in steps])),
+            residual_norm=jnp.max(
+                jnp.stack([s.residual_norm for s in steps[1:]])
+            ),
+            iterations=jnp.sum(jnp.stack([s.iterations for s in steps])),
+        )
 
 def _solve_core(
     coords,

@@ -348,14 +348,19 @@ class Trainer:
                 f"{cfg.num_train_steps / effective}"
             )
 
-        while int(self.state.step) < cfg.num_train_steps:
-            step = int(self.state.step)
-            offset = (
-                step * cfg.train_batch_size * cfg.num_gradient_accumulation_steps
-            )
-            batch = self._fetch_batch(offset)
-            self.state, loss = self._train_step(self.state, batch)
-            loss = float(loss)
+        # Prefetch overlap: the device step for batch i runs while the host
+        # decodes batch i+1 (the reference's DataLoader ran with
+        # num_workers=0, serializing PNG decode with the GPU step). The
+        # python-side step counter avoids blocking on the device counter.
+        per_step = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
+        step = int(self.state.step)
+        next_batch = self._fetch_batch(step * per_step)
+        while step < cfg.num_train_steps:
+            batch = next_batch
+            self.state, loss = self._train_step(self.state, batch)  # async
+            if step + 1 < cfg.num_train_steps:
+                next_batch = self._fetch_batch((step + 1) * per_step)
+            loss = float(loss)  # blocks on the device step
             logging.info(f"step: {step}, loss: {loss:.4f}")
 
             new_step = step + 1
@@ -385,6 +390,7 @@ class Trainer:
                     new_step, loss, total_sample_loss, image_filenames, ranges,
                     milestone,
                 )
+            step = new_step
 
         self.save_checkpoint("final")
         print("Training done!")

@@ -255,3 +255,32 @@ def test_solve_refined_cantilever_parity():
     u = np.asarray(res.displacements[-1])
     rel_mae = np.abs(u - gt).mean() / np.abs(gt).max()
     assert rel_mae < 1e-8, f"relative MAE {rel_mae:.2e}"
+
+
+def test_per_step_solve_mode_matches_scaled():
+    """The reference's per-step time-stepping solve (one solve per ramped
+    load) agrees with the exploit-linearity default (solve once, scale)."""
+    mesh = triangulate(
+        np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]), mesh_size=0.2
+    )
+    fixed = np.abs(mesh.coords[:, 1]) < 1e-12
+    loads = np.zeros((mesh.num_nodes, 2))
+    top = int(np.argmax(mesh.coords[:, 1]))
+    loads[top] = (40.0, -90.0)
+    problem = StaticProblem(
+        coords=mesh.coords,
+        triangles=mesh.triangles,
+        young=np.full(mesh.num_triangles, 2000.0),
+        poisson=np.full(mesh.num_triangles, 0.3),
+        fixed_nodes=fixed,
+        loads=loads,
+        num_steps=4,
+    )
+    fast = problem.solve()
+    per_step = problem.solve(per_step_solves=True)
+    assert per_step.success
+    np.testing.assert_allclose(
+        np.asarray(per_step.displacements),
+        np.asarray(fast.displacements),
+        atol=1e-8,
+    )
