@@ -255,25 +255,128 @@ def generate_data(
     assert num_plates >= 1 and conditions_per_plate >= 1
     plate_index = (start_plate - 1) if start_plate is not None else 0
     total_time = 0.0
-    solves = 0
-    failures = 0
+    stats = {"solves": 0, "failures": 0}
 
+    from .batched import PlateSolver
+
+    include_cell_fields = save_strain or save_stress or save_meshes
+
+    def nonsingular_condition(solver, condition, retries_box):
+        """Resample past structurally singular conditions (instant host
+        check — the reference pays an LU to find its NaNs). Returns
+        (condition, problem) or None to abandon the plate."""
+        while True:
+            problem = solver.build_problem(condition)
+            if not problem.structurally_singular():
+                return condition, problem
+            stats["solves"] += 1
+            stats["failures"] += 1
+            retries_box[0] += 1
+            if retries_box[0] > max_condition_retries:
+                return None
+            condition = condition_sampler.sample_one(solver.mesh)
+
+    def prepare_plate():
+        """Host-side prep of one plate: geometry -> mesh -> non-singular
+        conditions -> pixel map. Plates are iid, so preps are index-free."""
+        while True:
+            try:
+                polygon = geometry_sampler.generate()
+                mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
+            except (GeometryError, MeshError):
+                continue
+            solver = PlateSolver(
+                mesh,
+                num_steps_per_condition,
+                tol=solver_tol,
+                max_iters=solver_max_iters,
+                include_cell_fields=include_cell_fields,
+            )
+            conditions = condition_sampler.sample(mesh, conditions_per_plate)
+            retries_box = [0]
+            pending = []
+            ok = True
+            for i, condition in enumerate(conditions):
+                out = nonsingular_condition(solver, condition, retries_box)
+                if out is None:
+                    ok = False
+                    break
+                pending.append((i, out[0], out[1]))
+            if not ok:
+                continue
+            pixel_map = build_pixel_map(
+                mesh.coords, mesh.triangles, image_size, pad_candidates=32
+            )
+            return mesh, solver, pending, pixel_map, retries_box
+
+    # Software-pipelined loop: while plate k's solves run on the device,
+    # the host prepares plate k+1 (mesh, clustering, pixel map) — the fetch
+    # latency is hidden behind the next plate's prep.
+    next_prep = prepare_plate()
     while plate_index < num_plates:
-        try:
-            polygon = geometry_sampler.generate()
-            mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
-        except (GeometryError, MeshError):
-            continue
+        mesh, solver, pending, pixel_map, retries_box = next_prep
 
-        conditions = condition_sampler.sample(mesh, conditions_per_plate)
-        pixel_map = build_pixel_map(
-            mesh.coords, mesh.triangles, image_size, pad_candidates=32
-        )
+        start = timer()
+        batch_problems = [p for _, _, p in pending]
+        while len(batch_problems) < conditions_per_plate:
+            batch_problems.append(batch_problems[-1])
+        token = solver.dispatch_batch(batch_problems)
+
+        if plate_index + 1 < num_plates:
+            next_prep = prepare_plate()  # overlaps the device solves
+        else:
+            next_prep = None
+
+        results = solver.fetch_batch(token)[: len(pending)]
+        elapsed = timer() - start
+        stats["solves"] += len(pending)
+        total_time += elapsed
+        if verbose:
+            print("TIME:", elapsed)
+
+        # Retry CG-level failures (hinge mechanisms etc.) synchronously.
+        final: Dict[int, Tuple] = {}
+        abandon_plate = False
+        while pending:
+            retry: List = []
+            for (slot, condition, _problem), result in zip(pending, results):
+                if result.success:
+                    final[slot] = (condition, result)
+                    continue
+                stats["failures"] += 1
+                if verbose:
+                    print(
+                        f"Failed to calculate for plate {plate_index + 1} "
+                        f"condition {slot + 1}; regenerating condition"
+                    )
+                out = nonsingular_condition(
+                    solver, condition_sampler.sample_one(mesh), retries_box
+                )
+                if out is None:
+                    abandon_plate = True
+                    break
+                retry.append((slot, out[0], out[1]))
+            pending = retry
+            if abandon_plate or not pending:
+                break
+            start = timer()
+            batch_problems = [p for _, _, p in pending]
+            while len(batch_problems) < conditions_per_plate:
+                batch_problems.append(batch_problems[-1])
+            token = solver.dispatch_batch(batch_problems)
+            results = solver.fetch_batch(token)[: len(pending)]
+            total_time += timer() - start
+            stats["solves"] += len(pending)
+
+        if abandon_plate:
+            # unsatisfiable plate: promote the prepared next plate to this
+            # index (plates are iid) and prepare a fresh next
+            if next_prep is None:
+                next_prep = prepare_plate()
+            continue
 
         plate_dir = os.path.join(data_dir, str(plate_index + 1))
         verify_directory(plate_dir)
-
-        # plate-level images (reference writes these on the first condition)
         save_gray_png(
             os.path.join(plate_dir, "outline.png"),
             outline_image(pixel_map, mesh.coords, mesh.ring_corner_ids),
@@ -281,116 +384,37 @@ def generate_data(
         save_gray_png(
             os.path.join(plate_dir, "input.png"), geometry_image(pixel_map)
         )
-
-        from .batched import PlateSolver
-
-        solver = PlateSolver(
-            mesh,
-            num_steps_per_condition,
-            tol=solver_tol,
-            max_iters=solver_max_iters,
-            include_cell_fields=(save_strain or save_stress or save_meshes),
-        )
-
-        def nonsingular_condition(condition, retries_box):
-            """Resample past structurally singular conditions (instant host
-            check — the reference pays an LU to find its NaNs). Returns
-            (condition, problem) or None to abandon the plate."""
-            nonlocal failures, solves
-            while True:
-                problem = solver.build_problem(condition)
-                if not problem.structurally_singular():
-                    return condition, problem
-                solves += 1
-                failures += 1
-                retries_box[0] += 1
-                if retries_box[0] > max_condition_retries:
-                    return None
-                condition = condition_sampler.sample_one(mesh)
-
-        retries_box = [0]
-        abandon_plate = False
-        pending: List = []  # (slot_index, condition, problem)
-        for i, condition in enumerate(conditions):
-            out = nonsingular_condition(condition, retries_box)
-            if out is None:
-                abandon_plate = True
-                break
-            pending.append((i, out[0], out[1]))
-
-        final: Dict[int, Tuple] = {}
-        while not abandon_plate and pending:
-            # One vmapped dispatch + ONE fetch for all pending conditions.
-            # Retry batches are padded to the full batch size so the kernel
-            # shape (and its compilation) stays fixed.
-            start = timer()
-            batch_problems = [p for _, _, p in pending]
-            while len(batch_problems) < len(conditions):
-                batch_problems.append(batch_problems[-1])
-            token = solver.dispatch_batch(batch_problems)
-            results = solver.fetch_batch(token)[: len(pending)]
-            elapsed = timer() - start
-            solves += len(pending)
-            total_time += elapsed
-            if verbose:
-                print("TIME:", elapsed)
-
-            retry: List = []
-            for (slot, condition, _problem), result in zip(pending, results):
-                if result.success:
-                    final[slot] = (condition, result)
-                    continue
-                failures += 1
-                if verbose:
-                    print(
-                        f"Failed to calculate for plate {plate_index + 1} "
-                        f"condition {slot + 1}; regenerating condition"
-                    )
-                out = nonsingular_condition(
-                    condition_sampler.sample_one(mesh), retries_box
-                )
-                if out is None:
-                    abandon_plate = True
-                    break
-                retry.append((slot, out[0], out[1]))
-            pending = retry
-
-        if not abandon_plate:
-            for slot in sorted(final):
-                condition, result = final[slot]
-                condition_dir = os.path.join(plate_dir, str(slot + 1))
-                verify_directory(condition_dir)
-                clear_directory(condition_dir)
-                _write_condition(
-                    mesh,
-                    pixel_map,
-                    condition,
-                    result,
-                    condition_dir,
-                    num_steps_per_condition,
-                    save_displacement,
-                    save_strain,
-                    save_stress,
-                    save_meshes,
-                )
-
-        if abandon_plate:
-            for name in os.listdir(plate_dir):
-                sub = os.path.join(plate_dir, name)
-                clear_directory(sub) if os.path.isdir(sub) else os.remove(sub)
-            continue  # same plate_index, fresh geometry
+        for slot in sorted(final):
+            condition, result = final[slot]
+            condition_dir = os.path.join(plate_dir, str(slot + 1))
+            verify_directory(condition_dir)
+            clear_directory(condition_dir)
+            _write_condition(
+                mesh,
+                pixel_map,
+                condition,
+                result,
+                condition_dir,
+                num_steps_per_condition,
+                save_displacement,
+                save_strain,
+                save_stress,
+                save_meshes,
+            )
 
         if wandb_inject_function is not None:
             wandb_inject_function(plate_index, total_time, None)
         plate_index += 1
         if verbose:
             print("PLATE TIME:", total_time)
+        if next_prep is None and plate_index < num_plates:
+            next_prep = prepare_plate()
 
     if verbose:
         print("TOTAL TIME:", total_time)
     return {
         "plates": num_plates,
-        "solves": solves,
-        "failures": failures,
+        "solves": stats["solves"],
+        "failures": stats["failures"],
         "total_solve_time": total_time,
     }
