@@ -200,3 +200,38 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.summary()
+
+
+def test_ema_update_math():
+    import jax.numpy as jnp
+
+    from fea_tpu.train.ema import ema_update
+
+    ema = {"w": jnp.ones((3,))}
+    params = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def test_dataset_min_max_modes(tiny_dataset):
+    ds_log = FEADataset(
+        tiny_dataset, image_size=32, conditions_per_plate=2, num_steps=3
+    )
+    ds_mm = FEADataset(
+        tiny_dataset,
+        image_size=32,
+        conditions_per_plate=2,
+        num_steps=3,
+        min_max_magnitude=(0, 1000),
+        min_max_youngs_modulus=(0, 411000),
+    )
+    s_log = ds_log[1]
+    s_mm = ds_mm[1]
+    # min-max magnitudes are scaled |v|/1000 (no step scaling, no sign)
+    assert s_mm["forces"].max() <= 1.0
+    assert s_mm["forces"].min() >= 0.0
+    # log mode keeps signs
+    assert s_log["forces"].min() <= 0.0 or s_log["forces"].max() > 0.0
+    # min-max youngs modulus in [0, 1]
+    m = s_mm["materials"][..., 0]
+    assert m.max() <= 1.0
