@@ -237,7 +237,13 @@ def _cmd_accuracy(args):
 
 def _add_app(sub):
     p = sub.add_parser("app", help="Run an application problem end to end.")
-    p.add_argument("name", choices=["cantilever", "gusset", "shearblade", "composite"])
+    p.add_argument(
+        "name",
+        choices=[
+            "cantilever", "gusset", "shearblade", "composite",
+            "composite_coupled",
+        ],
+    )
     p.add_argument("--output_dir", type=str, default="app_output")
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--checkpoint", type=str, default=None,

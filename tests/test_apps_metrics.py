@@ -98,3 +98,18 @@ def test_metrics_roundtrip_on_generated_dataset(tmp_path):
     stats = dataset_displacement_stats(data_dir)
     assert stats["num_files"] == 2
     assert np.isfinite(stats["max"])
+
+
+def test_composite_coupled_variant_is_solvable():
+    """The interface-overlap composite variant couples the two materials
+    and solves to a physical displacement scale (unlike the reference's
+    decoupled composite, whose own fixture shows ~1e10 garbage)."""
+    spec = APPLICATIONS["composite_coupled"]
+    mesh = load_app_mesh(spec)
+    problem = build_problem(spec, mesh)
+    assert not problem.structurally_singular()
+    res = problem.solve(max_iters=40000)
+    assert res.success
+    u = np.asarray(res.displacements[-1])
+    assert np.abs(u).max() < 1.0  # physical scale, not 1e10 garbage
+    assert np.abs(u).max() > 1e-6
