@@ -198,3 +198,38 @@ def test_solve_plate_group_sharded_over_mesh():
         assert np.abs(bu - su).max() / scale < 1e-4
         compared += 1
     assert compared >= 3, f"only {compared} mutually-converged plates"
+
+
+def test_generate_data_start_plate_resume(tmp_path):
+    """--start_plate resumes into the same directory (the reference's
+    restartable datagen, generate_data.py:9-14)."""
+    data_dir = str(tmp_path / "rdata")
+    generate_data(
+        data_dir=data_dir,
+        image_size=64,
+        num_plates=2,
+        conditions_per_plate=1,
+        mesh_size=0.08,
+        holes_per_polygon_range=(0, 0),
+        num_steps_per_condition=2,
+        seed=50,
+        verbose=False,
+    )
+    # resume from plate 2: only plate 2 rewritten, plate 1 untouched
+    import time
+
+    before = os.path.getmtime(os.path.join(data_dir, "1", "input.png"))
+    generate_data(
+        data_dir=data_dir,
+        image_size=64,
+        num_plates=2,
+        start_plate=2,
+        conditions_per_plate=1,
+        mesh_size=0.08,
+        holes_per_polygon_range=(0, 0),
+        num_steps_per_condition=2,
+        seed=51,
+        verbose=False,
+    )
+    assert os.path.getmtime(os.path.join(data_dir, "1", "input.png")) == before
+    assert os.path.isfile(os.path.join(data_dir, "2", "1", "magnitudes.txt"))
