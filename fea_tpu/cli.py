@@ -173,6 +173,48 @@ def _cmd_train(args):
     trainer.train(wandb_inject_function=wandb_fn)
 
 
+def _add_train_diffusion(sub):
+    p = sub.add_parser(
+        "train-diffusion",
+        help="Train the conditional-diffusion (DDPM) FDN-UNet mode.",
+    )
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_steps", type=int, default=10000)
+    p.add_argument("--num_steps_per_milestone", type=int, default=500)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--objective", type=str, default="pred_noise",
+                   choices=["pred_noise", "pred_x0"])
+    p.add_argument("--conditions_per_plate", type=int, default=4)
+    p.add_argument("--num_steps_per_condition", type=int, default=6)
+    p.add_argument("--results_dir", type=str, default="results_diffusion")
+    p.add_argument("--skip_dataset_size_check", action="store_true",
+                   help=argparse.SUPPRESS)
+    return p
+
+
+def _cmd_train_diffusion(args):
+    from .train.diffusion_trainer import DiffusionConfig, DiffusionTrainer
+
+    config = DiffusionConfig(
+        dataset_folder=args.data_dir,
+        dataset_image_size=args.image_size,
+        conditions_per_plate=args.conditions_per_plate,
+        num_steps_per_condition=args.num_steps_per_condition,
+        train_batch_size=args.batch_size,
+        train_learning_rate=args.learning_rate,
+        num_train_steps=args.num_steps,
+        num_steps_per_milestone=args.num_steps_per_milestone,
+        timesteps=args.timesteps,
+        objective=args.objective,
+        results_folder=args.results_dir,
+        skip_dataset_size_check=args.skip_dataset_size_check,
+    )
+    DiffusionTrainer(config).train()
+
+
 def _add_sample(sub):
     p = sub.add_parser("sample", help="Sample a trained model over a dataset.")
     p.add_argument("--data_dir", type=str, default="data")
@@ -271,6 +313,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     _add_generate(sub)
     _add_train(sub)
+    _add_train_diffusion(sub)
     _add_sample(sub)
     _add_accuracy(sub)
     _add_app(sub)
@@ -278,6 +321,7 @@ def main(argv=None):
     {
         "generate": _cmd_generate,
         "train": _cmd_train,
+        "train-diffusion": _cmd_train_diffusion,
         "sample": _cmd_sample,
         "accuracy": _cmd_accuracy,
         "app": _cmd_app,

@@ -235,3 +235,40 @@ def test_dataset_min_max_modes(tiny_dataset):
     # min-max youngs modulus in [0, 1]
     m = s_mm["materials"][..., 0]
     assert m.max() <= 1.0
+
+
+def test_diffusion_trainer_end_to_end(tiny_dataset, tmp_path):
+    """Conditional-diffusion training loop (BASELINE config 4): train two
+    steps on the tiny dataset, checkpoint, and draw a sample."""
+    from fea_tpu.train.diffusion_trainer import DiffusionConfig, DiffusionTrainer
+
+    config = DiffusionConfig(
+        dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        conditions_per_plate=2,
+        num_steps_per_condition=3,
+        train_batch_size=8,
+        num_train_steps=2,
+        num_steps_per_milestone=2,
+        timesteps=8,
+        input_dim=16,
+        num_stages=2,
+        results_folder=str(tmp_path / "dres"),
+        skip_dataset_size_check=True,
+    )
+    trainer = DiffusionTrainer(config)
+    loss = trainer.train()
+    assert np.isfinite(loss)
+    assert os.path.isdir(os.path.join(str(tmp_path / "dres"), "model-final"))
+
+    batch = trainer.dataset[0]
+    cond = trainer.batch_condition(
+        {k: v[None] for k, v in batch.items() if hasattr(v, "shape")}
+    )
+    samples = trainer.sample(cond, num_steps=4)
+    assert samples.shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(samples)).all()
+
+    trainer2 = DiffusionTrainer(config)
+    trainer2.load_checkpoint("final")
+    assert int(trainer2.state.step) == 2
