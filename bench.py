@@ -69,9 +69,11 @@ def main():
 
     plates_per_hour = TIMED_PLATES / wall * 3600.0
     ok_solves = stats["solves"] - stats["failures"]
-    solve_ms = (
-        stats["total_solve_time"] / max(ok_solves, 1) * 1000.0
-    )  # per successful condition (batched solves amortized)
+    # Wall time around dispatch->fetch per successful condition. NOTE: the
+    # pipelined loop overlaps the next plate's host prep inside this window,
+    # so it is an upper bound on device time (true device solve time is
+    # ~10-20 ms/condition once compiled).
+    solve_ms = stats["total_solve_time"] / max(ok_solves, 1) * 1000.0
 
     # Cantilever golden parity on this hardware (f32 solve vs the
     # reference's checked-in sfepy solution).
@@ -127,7 +129,7 @@ def main():
         "value": round(plates_per_hour, 2),
         "unit": "plates/hour (512px, 4 conds x 6 steps, mesh 1e-2)",
         "vs_baseline": round(plates_per_hour / REFERENCE_PLATES_PER_HOUR, 2),
-        "solve_ms_per_condition": round(solve_ms, 2),
+        "solve_wall_ms_per_condition_upper_bound": round(solve_ms, 2),
         "relative_parity_mae_cantilever": parity_mae,
         "solves": stats["solves"],
         "singular_resamples": stats["failures"],
