@@ -164,13 +164,20 @@ class PlateSolver:
         accept_tol: float = 1e-4,
         restarts: Optional[int] = None,
         include_cell_fields: bool = True,
+        node_bucket: Optional[int] = None,
+        tri_bucket: Optional[int] = None,
+        min_incidence_degree: int = 0,
     ):
+        """`node_bucket`/`tri_bucket`/`min_incidence_degree` force the padded
+        shapes (bumped up if the mesh doesn't fit) so a group of plates can
+        share ONE compiled kernel — and hence one dispatch + one fetch."""
         self.mesh = mesh
         self.num_steps = num_steps
         self.n = mesh.num_nodes
         self.m = mesh.num_triangles
-        self.node_bucket = next_bucket(self.n + 3)
-        self.tri_bucket = next_bucket(self.m)
+        self.node_bucket = max(node_bucket or 0, next_bucket(self.n + 3))
+        self.tri_bucket = max(tri_bucket or 0, next_bucket(self.m))
+        self._min_incidence_degree = min_incidence_degree
         self.dtype = jnp.dtype(dtype)
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             self.dtype = jnp.dtype(jnp.float32)
@@ -196,7 +203,11 @@ class PlateSolver:
         ).padded(self.node_bucket, self.tri_bucket)
         self._padded_triangles = scaffold.triangles
         self._pad_fixed_tail = scaffold.fixed_nodes[self.n :]
-        incidence = build_incidence(scaffold.triangles, self.node_bucket)
+        incidence = build_incidence(
+            scaffold.triangles,
+            self.node_bucket,
+            pad_degree=self._min_incidence_degree,
+        )
         self.coords_dev = jnp.asarray(scaffold.coords, self.dtype)
         self.triangles_dev = jnp.asarray(scaffold.triangles, jnp.int32)
         self.slots_dev = incidence.slots
@@ -303,22 +314,17 @@ class PlateSolver:
         return (self.node_bucket, self.tri_bucket, int(self.slots_dev.shape[1]))
 
 
-def solve_plate_group(
+def dispatch_plate_group(
     payloads,
     tol=None,
     max_iters: int = 6000,
     sharding=None,
     pad_group_to: int = 0,
 ):
-    """Solve all conditions of a group of same-bucket plates in ONE
-    dispatch + ONE fetch.
-
-    payloads: list of (PlateSolver, [StaticProblem, ...]) with equal
-    shape_key and equal condition counts. Optional `sharding`: a
-    jax.sharding.NamedSharding to distribute the plate axis over a device
-    mesh. `pad_group_to` repeats the last payload so every group compiles
-    at one fixed plate count. Returns list-of-lists of SolveResult
-    matching the (unpadded) input."""
+    """Async half of `solve_plate_group`: stack + upload a group of
+    same-bucket plates, dispatch the two-level vmapped kernel, and return
+    the device token immediately (the host is free to prep the next chunk
+    while the solves run)."""
     n_real = len(payloads)
     if pad_group_to > n_real:
         payloads = payloads + [payloads[-1]] * (pad_group_to - n_real)
@@ -350,7 +356,7 @@ def solve_plate_group(
     if sharding is not None:
         args = [jax.device_put(a, sharding) for a in args]
 
-    token = _solve_multi_plate_kernel(
+    return _solve_multi_plate_kernel(
         *args,
         tol=solver0.tol if tol is None else tol,
         max_iters=max_iters,
@@ -358,9 +364,14 @@ def solve_plate_group(
         restarts=solver0.restarts,
         include_cell_fields=solver0.include_cell_fields,
     )
-    packed = np.asarray(token)  # ONE round trip for the whole group
+
+
+def fetch_plate_group(token, payloads):
+    """Blocking half of `solve_plate_group`: ONE round trip for the whole
+    group, then unpack per plate/condition."""
+    packed = np.asarray(token)
     out = []
-    for (s, problems), packed_plate in zip(payloads[:n_real], packed[:n_real]):
+    for (s, problems), packed_plate in zip(payloads, packed):
         results = []
         for packed_cond in packed_plate[: len(problems)]:
             r = unpack_solve(
@@ -375,6 +386,54 @@ def solve_plate_group(
             )
         out.append(results)
     return out
+
+
+def solve_plate_group(
+    payloads,
+    tol=None,
+    max_iters: int = 6000,
+    sharding=None,
+    pad_group_to: int = 0,
+):
+    """Solve all conditions of a group of same-bucket plates in ONE
+    dispatch + ONE fetch.
+
+    payloads: list of (PlateSolver, [StaticProblem, ...]) with equal
+    shape_key and equal condition counts. Optional `sharding`: a
+    jax.sharding.NamedSharding to distribute the plate axis over a device
+    mesh. `pad_group_to` repeats the last payload so every group compiles
+    at one fixed plate count. Returns list-of-lists of SolveResult
+    matching the (unpadded) input."""
+    token = dispatch_plate_group(
+        payloads,
+        tol=tol,
+        max_iters=max_iters,
+        sharding=sharding,
+        pad_group_to=pad_group_to,
+    )
+    return fetch_plate_group(token, payloads)
+
+
+class RunningBuckets:
+    """Monotone bucket policy: every plate is padded up to the largest
+    bucket seen so far in the run, so shapes (and compiled kernels, and
+    grouped dispatches) stabilize after the first few plates instead of
+    splintering into one shape key per plate. Scales with the actual mesh
+    sizes — tiny test meshes stay tiny."""
+
+    def __init__(self):
+        self.node = 0
+        self.tri = 0
+        self.degree = 0
+
+    def update(self, meshes) -> None:
+        for mesh in meshes:
+            self.node = max(self.node, next_bucket(mesh.num_nodes + 3))
+            self.tri = max(self.tri, next_bucket(mesh.num_triangles))
+
+    def update_degree(self, solvers) -> None:
+        for s in solvers:
+            self.degree = max(self.degree, int(s.slots_dev.shape[1]))
 
 
 def generate_data_batched(
@@ -394,22 +453,34 @@ def generate_data_batched(
     num_steps_per_condition: int = 11,
     save_meshes: bool = False,
     seed=None,
-    batch_size: int = 8,
+    batch_size: int = 4,
     max_condition_retries: int = 30,
     verbose: bool = True,
 ) -> Dict:
-    """Multi-plate batched datagen: prepare `batch_size` plates on the
-    host, group them by compiled shape, and run each group's solves as a
-    single device program (BASELINE config 3 — 'batched datagen')."""
+    """Multi-plate batched datagen (BASELINE config 3 — 'batched datagen').
+
+    `batch_size` defaults to 4: the group solve is one long-running vmapped
+    while_loop, and every lane runs until the SLOWEST lane finishes, so
+    very large groups pay a lockstep tax — and on tunneled devices a
+    multi-minute kernel can trip the remote watchdog. 4 plates x 4
+    conditions = 16 lanes is the sweet spot measured on v5e.
+
+    Built for high-latency device links: a chunk of `batch_size` plates is
+    padded to shared (monotone running-max) buckets so ALL of its solves run
+    as ONE device program — one dispatch + one packed fetch per chunk,
+    instead of one per plate. The loop is software-pipelined: while chunk
+    k's solves are in flight, the host preps chunk k+1 (meshing,
+    clustering, condition checks) and builds chunk k's pixel maps."""
+    import os
     from timeit import default_timer as timer
 
     from ..geometry import GeometryError, GeometrySampler
     from ..mesh import MeshError, triangulate_polygon
-    from ..raster import build_pixel_map
+    from ..raster import build_pixel_map, geometry_image, outline_image
     from ..utils.device import enable_compilation_cache
     from .conditions import ConditionSampler
     from .pipeline import _write_condition
-    from .writers import verify_directory
+    from .writers import save_gray_png, verify_directory
 
     enable_compilation_cache()
     verify_directory(data_dir)
@@ -424,74 +495,126 @@ def generate_data_batched(
         num_regions_range=num_regions,
         random_seed=None if seed is None else seed + 1,
     )
+    include_cell_fields = save_strain or save_stress or save_meshes
+    buckets = RunningBuckets()
 
     stats = {"plates": 0, "solves": 0, "failures": 0, "total_solve_time": 0.0}
-    plate_index = 0
-    while plate_index < num_plates:
-        chunk = min(batch_size, num_plates - plate_index)
-        # ---- host prep: meshes + non-singular conditions ---------------
-        payloads = []  # (plate_no, mesh, solver, [(condition, problem)])
-        while len(payloads) < chunk:
+
+    def nonsingular_pairs(mesh):
+        """(condition, problem) pairs for one plate, resampling past
+        structurally singular draws; None to redraw the plate."""
+        conditions = condition_sampler.sample(mesh, conditions_per_plate)
+        pairs = []
+        retries = 0
+        for condition in conditions:
+            while True:
+                problem = StaticProblem.from_condition(
+                    mesh,
+                    material_regions=condition["material_regions"],
+                    point_constraints=condition["point_constraints"],
+                    edge_constraints=condition["edge_constraints"],
+                    point_forces=condition["point_forces"],
+                    edge_forces=condition["edge_forces"],
+                    num_steps=num_steps_per_condition,
+                )
+                if not problem.structurally_singular():
+                    pairs.append((condition, problem))
+                    break
+                stats["solves"] += 1
+                stats["failures"] += 1
+                retries += 1
+                if retries > max_condition_retries:
+                    return None
+                condition = condition_sampler.sample_one(mesh)
+        return pairs
+
+    def prep_chunk(chunk: int):
+        """Host prep of `chunk` plates: geometry -> mesh -> conditions."""
+        plates = []  # (mesh, pairs)
+        while len(plates) < chunk:
             try:
                 polygon = geometry_sampler.generate()
                 mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
             except (GeometryError, MeshError):
                 continue
-            solver = PlateSolver(mesh, num_steps_per_condition)
-            conditions = condition_sampler.sample(mesh, conditions_per_plate)
-            pairs = []
-            retries = 0
-            ok = True
-            for condition in conditions:
-                while True:
-                    problem = solver.build_problem(condition)
-                    if not problem.structurally_singular():
-                        pairs.append((condition, problem))
-                        break
-                    stats["solves"] += 1
-                    stats["failures"] += 1
-                    retries += 1
-                    if retries > max_condition_retries:
-                        ok = False
-                        break
-                    condition = condition_sampler.sample_one(mesh)
-                if not ok:
-                    break
-            if not ok:
+            pairs = nonsingular_pairs(mesh)
+            if pairs is None:
                 continue  # redraw plate
-            payloads.append(
-                (plate_index + len(payloads) + 1, mesh, solver, pairs)
+            plates.append((mesh, pairs))
+        return plates
+
+    def dispatch_chunk(plates):
+        """Pad the chunk to shared buckets and dispatch every solve as one
+        device program per (rarely >1) shape group. Returns [(payloads,
+        solvers-aligned entries, token), ...] without blocking."""
+        buckets.update(m for m, _ in plates)
+        solvers = [
+            PlateSolver(
+                mesh,
+                num_steps_per_condition,
+                node_bucket=buckets.node,
+                tri_bucket=buckets.tri,
+                min_incidence_degree=buckets.degree,
+                include_cell_fields=include_cell_fields,
             )
-
-        # ---- device: group by shape, one dispatch per group -------------
+            for mesh, _ in plates
+        ]
+        buckets.update_degree(solvers)
         groups: Dict = {}
-        for entry in payloads:
-            groups.setdefault(entry[2].shape_key, []).append(entry)
-
-        results_by_plate: Dict = {}
-        t0 = timer()
-        for key, entries in groups.items():
-            group_payloads = [
+        for solver, (mesh, pairs) in zip(solvers, plates):
+            groups.setdefault(solver.shape_key, []).append(
+                (mesh, solver, pairs)
+            )
+        dispatched = []
+        for entries in groups.values():
+            payloads = [
                 (solver, [p for _, p in pairs])
-                for _, _, solver, pairs in entries
+                for _, solver, pairs in entries
             ]
-            # Pad to half/full chunk sizes so group shapes (and compiles)
-            # are bounded.
-            pad_to = len(group_payloads)
+            pad_to = len(payloads)
             for candidate in (1, 2, 4, batch_size):
                 if candidate >= pad_to:
                     pad_to = candidate
                     break
-            solved = solve_plate_group(group_payloads, pad_group_to=pad_to)
-            for (plate_no, mesh, solver, pairs), results in zip(
-                entries, solved
-            ):
-                results_by_plate[plate_no] = (mesh, solver, pairs, results)
-        stats["total_solve_time"] += timer() - t0
-        stats["solves"] += sum(len(p[3]) for p in payloads)
+            token = dispatch_plate_group(payloads, pad_group_to=pad_to)
+            dispatched.append((payloads, entries, token))
+        return dispatched
 
-        # ---- failures: resample + single-plate batch retries ------------
-        for plate_no, (mesh, solver, pairs, results) in results_by_plate.items():
+    plate_index = 0
+    next_plates = prep_chunk(min(batch_size, num_plates))
+    while plate_index < num_plates:
+        plates = next_plates
+        t0 = timer()
+        dispatched = dispatch_chunk(plates)  # async — solves in flight
+
+        # ---- overlap the in-flight solves with host work ----------------
+        remaining = num_plates - plate_index - len(plates)
+        next_plates = prep_chunk(min(batch_size, remaining)) if remaining else None
+        pixel_maps = {
+            id(mesh): build_pixel_map(
+                mesh.coords,
+                mesh.triangles,
+                image_size,
+                pad_candidates=32,
+                pad_shapes=(buckets.node, buckets.tri),
+            )
+            for mesh, _ in plates
+        }
+
+        # ---- fetch: one round trip per group -----------------------------
+        chunk_results = []  # (mesh, solver, pairs, results) in plate order
+        by_mesh = {}
+        for payloads, entries, token in dispatched:
+            solved = fetch_plate_group(token, payloads)
+            for (mesh, solver, pairs), results in zip(entries, solved):
+                by_mesh[id(mesh)] = (mesh, solver, pairs, results)
+        for mesh, _ in plates:
+            chunk_results.append(by_mesh[id(mesh)])
+        stats["total_solve_time"] += timer() - t0
+        stats["solves"] += sum(len(pairs) for _, pairs in plates)
+
+        # ---- failures: resample + single-plate batch retries -------------
+        for mesh, solver, pairs, results in chunk_results:
             retries = 0
             while any(not r.success for r in results):
                 retry_idx = [i for i, r in enumerate(results) if not r.success]
@@ -521,20 +644,14 @@ def generate_data_batched(
                 for i, r in zip(retry_idx, retry_results):
                     results[i] = r
 
-            # ---- write ---------------------------------------------------
+            # ---- write ----------------------------------------------------
             if any(not r.success for r in results):
                 if verbose:
-                    print(f"abandoning plate {plate_no} (unsatisfiable)")
+                    print(f"abandoning plate {plate_index + 1} (unsatisfiable)")
+                plate_index += 1
                 continue
-            pixel_map = build_pixel_map(
-                mesh.coords, mesh.triangles, image_size, pad_candidates=32
-            )
-            import os
-
-            plate_dir = os.path.join(data_dir, str(plate_no))
-            from .writers import save_gray_png
-            from ..raster import geometry_image, outline_image
-
+            pixel_map = pixel_maps[id(mesh)]
+            plate_dir = os.path.join(data_dir, str(plate_index + 1))
             verify_directory(plate_dir)
             save_gray_png(
                 os.path.join(plate_dir, "outline.png"),
@@ -559,7 +676,7 @@ def generate_data_batched(
                     save_meshes,
                 )
             stats["plates"] += 1
-        plate_index += chunk
+            plate_index += 1
         if verbose:
             print(
                 f"chunk done: {stats['plates']} plates, "

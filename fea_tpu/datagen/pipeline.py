@@ -257,9 +257,14 @@ def generate_data(
     total_time = 0.0
     stats = {"solves": 0, "failures": 0}
 
-    from .batched import PlateSolver
+    from .batched import PlateSolver, RunningBuckets
 
     include_cell_fields = save_strain or save_stress or save_meshes
+    # Monotone running-max buckets: after the first few plates every solve
+    # and locate call reuses ONE compiled kernel (per-plate natural buckets
+    # would splinter into a new shape key — and a multi-second compile-cache
+    # load — every few plates).
+    buckets = RunningBuckets()
 
     def nonsingular_condition(solver, condition, retries_box):
         """Resample past structurally singular conditions (instant host
@@ -285,13 +290,18 @@ def generate_data(
                 mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
             except (GeometryError, MeshError):
                 continue
+            buckets.update([mesh])
             solver = PlateSolver(
                 mesh,
                 num_steps_per_condition,
                 tol=solver_tol,
                 max_iters=solver_max_iters,
                 include_cell_fields=include_cell_fields,
+                node_bucket=buckets.node,
+                tri_bucket=buckets.tri,
+                min_incidence_degree=buckets.degree,
             )
+            buckets.update_degree([solver])
             conditions = condition_sampler.sample(mesh, conditions_per_plate)
             retries_box = [0]
             pending = []
@@ -305,7 +315,11 @@ def generate_data(
             if not ok:
                 continue
             pixel_map = build_pixel_map(
-                mesh.coords, mesh.triangles, image_size, pad_candidates=32
+                mesh.coords,
+                mesh.triangles,
+                image_size,
+                pad_candidates=32,
+                pad_shapes=(buckets.node, buckets.tri),
             )
             return mesh, solver, pending, pixel_map, retries_box
 

@@ -18,10 +18,15 @@ import numpy as np
 
 class IncidenceOp(NamedTuple):
     """Static gather plan: for each global dof, the flat indices into the
-    (M*6,) element-result vector that accumulate into it, padded with a
-    sentinel slot pointing at a zeroed entry."""
+    (6*M,) element-result vector that accumulate into it, padded with a
+    sentinel slot pointing at a zeroed entry.
 
-    slots: jnp.ndarray  # (ndof, max_deg) int32 indices into padded (M*6+1,)
+    Layout contract (element-minor, see elasticity.py): element results are
+    (6, M) flattened as k*M + e (k = local dof 2a+comp), and global dof
+    vectors are planar (2N,) ordered comp*N + node — both keep the long
+    axis minor so TPU (8,128) tiling stays dense."""
+
+    slots: jnp.ndarray  # (ndof, max_deg) int32 indices into padded (6*M+1,)
     n_nodes: int
     n_elements: int
 
@@ -38,11 +43,13 @@ def build_incidence(
     ndof = 2 * n_nodes
     sentinel = M * 6  # extra zero slot
 
-    # Per element slot (e, a, comp): dof = 2*node + comp, value = e*6 + 2a + comp.
+    # Per element slot (e, a, comp): planar dof = comp*N + node,
+    # element-minor value = (2a + comp)*M + e.
     nodes = np.repeat(triangles.reshape(-1), 2)  # (M*3*2,)
     comp = np.tile(np.array([0, 1]), M * 3)
-    dof = 2 * nodes + comp
-    vals = np.repeat(np.arange(M * 3) * 2, 2) + comp  # e*6 + 2a + comp
+    dof = comp * n_nodes + nodes
+    ea = np.arange(M * 3)
+    vals = (2 * np.repeat(ea % 3, 2) + comp) * M + np.repeat(ea // 3, 2)
 
     order = np.argsort(dof, kind="stable")
     dof_s = dof[order]
@@ -61,24 +68,47 @@ def build_incidence(
     return IncidenceOp(slots=jnp.asarray(slots), n_nodes=n_nodes, n_elements=M)
 
 
+def element_dof_indices(triangles, n_nodes):
+    """(6, M) planar dof index of each element's local dofs: row k = 2a+c
+    maps to c*N + triangles[:, a]."""
+    tri_t = triangles.T  # (3, M)
+    return jnp.stack(
+        [(k % 2) * n_nodes + tri_t[k // 2] for k in range(6)], axis=0
+    )
+
+
+def apply_element_stiffness_planar(Ke, dof_idx, incidence_slots, u):
+    """y = K u on planar (2N,) dof vectors — the CG-loop hot path.
+
+    Ke: (6,6,M) element-minor; dof_idx: (6,M) from element_dof_indices;
+    incidence_slots: (2N, max_deg). Per iteration this moves O(M) dense
+    lane-aligned data; the old (M,6,6)/(M,3,2) layouts moved ~25x that in
+    TPU tile padding alone."""
+    ue = u[dof_idx]  # (6, M)
+    fe = jnp.einsum(
+        "ijm,jm->im", Ke, ue, precision=jax.lax.Precision.HIGHEST
+    )  # (6, M)
+    fe_flat = jnp.concatenate([fe.reshape(-1), jnp.zeros((1,), fe.dtype)])
+    return fe_flat[incidence_slots].sum(axis=1)  # (2N,) planar
+
+
 @partial(jax.jit, static_argnames=())
 def apply_element_stiffness(Ke, triangles, incidence_slots, u):
     """y = K u for u of shape (n_nodes, 2). All shapes static.
 
-    Ke: (M,6,6); triangles: (M,3) int; incidence_slots: (2*n_nodes, max_deg).
-    """
+    Ke: (6,6,M) element-minor; triangles: (M,3) int; incidence_slots:
+    (2*n_nodes, max_deg). Convenience wrapper over the planar form."""
     n_nodes = u.shape[0]
-    ue = u[triangles].reshape(-1, 6)  # (M, 6)
-    fe = jnp.einsum(
-        "mij,mj->mi", Ke, ue, precision=jax.lax.Precision.HIGHEST
-    )  # (M, 6)
-    fe_flat = jnp.concatenate([fe.reshape(-1), jnp.zeros((1,), fe.dtype)])
-    y = fe_flat[incidence_slots].sum(axis=1)
-    return y.reshape(n_nodes, 2)
+    dof_idx = element_dof_indices(triangles, n_nodes)
+    y = apply_element_stiffness_planar(
+        Ke, dof_idx, incidence_slots, u.T.reshape(-1)
+    )
+    return y.reshape(2, n_nodes).T
 
 
 def assemble_dense(Ke, triangles, n_nodes):
-    """Dense K for small test meshes only."""
+    """Dense K for small test meshes only. Ke: (6,6,M) element-minor."""
+    Ke = jnp.transpose(Ke, (2, 0, 1))  # (M,6,6) for per-element flattening
     K = jnp.zeros((2 * n_nodes, 2 * n_nodes), Ke.dtype)
     dofs = jnp.stack(
         [triangles * 2 + 0, triangles * 2 + 1], axis=-1

@@ -23,8 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .assembly import apply_element_stiffness, build_incidence
-from .elasticity import element_stiffness, plane_strain_stiffness
+from .assembly import (
+    apply_element_stiffness_planar,
+    build_incidence,
+    element_dof_indices,
+)
+from .elasticity import element_stiffness, plane_strain_stiffness_em
 from .solver import block_diagonal, extract_diagonal, invert_blocks, pcg_solve
 
 
@@ -306,35 +310,53 @@ def _solve_core(
     accept_tol,
     restarts,
 ):
-    D = plane_strain_stiffness(young, poisson)
-    Ke, B, _area = element_stiffness(coords, triangles, D)
-    diag = extract_diagonal(Ke, triangles, coords.shape[0])
-    free = free_nodes[:, None].repeat(2, axis=1)
-    blocks = block_diagonal(Ke, triangles, coords.shape[0])
-    block_inv = invert_blocks(blocks, free)
+    """Element-minor / planar-dof solve core (see elasticity.py's layout
+    note: every per-element array keeps the long axis minor so TPU (8,128)
+    tiling stays dense — the natural (M,6,6)/(N,2,2) layouts pad ~25x,
+    which both blows HBM under plate-vmapping and multiplies the CG loop's
+    memory traffic). Returns (CGResult with x (N,2), eps1 (M,3), sig1 (M,3))."""
+    n_nodes = coords.shape[0]
+    D = plane_strain_stiffness_em(young, poisson)  # (3,3,M)
+    Ke, B, _area = element_stiffness(coords, triangles, D)  # (6,6,M),(3,6,M)
+    diag = extract_diagonal(Ke, triangles, n_nodes)  # (N,2)
+    blocks = block_diagonal(Ke, triangles, n_nodes)  # (2,2,N)
+    block_inv = invert_blocks(blocks)
 
-    op = partial(apply_element_stiffness, Ke, triangles, incidence_slots)
+    free_planar = jnp.concatenate([free_nodes, free_nodes])  # (2N,)
+    dof_idx = element_dof_indices(triangles, n_nodes)  # (6,M)
+    op = partial(
+        apply_element_stiffness_planar, Ke, dof_idx, incidence_slots
+    )
+
+    def precondition(r):  # r (2N,) planar
+        z = jnp.einsum(
+            "ijn,jn->in",
+            block_inv,
+            r.reshape(2, n_nodes),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return z.reshape(-1) * free_planar
+
     res = pcg_solve(
         op,
-        loads,
-        diag,
-        free,
+        loads.T.reshape(-1),  # (N,2) -> planar (2N,)
+        diag.T.reshape(-1),
+        free_planar,
         tol=tol,
         max_iters=max_iters // max(restarts, 1),
         accept_tol=accept_tol,
-        block_inv=block_inv,
+        precondition=precondition,
         restarts=restarts,
     )
+    xe = res.x[dof_idx]  # (6,M)
     eps1 = jnp.einsum(
-        "mij,mj->mi",
-        B,
-        res.x[triangles].reshape(-1, 6),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        "ijm,jm->im", B, xe, precision=jax.lax.Precision.HIGHEST
+    )  # (3,M)
     sig1 = jnp.einsum(
-        "mij,mj->mi", D, eps1, precision=jax.lax.Precision.HIGHEST
+        "ijm,jm->im", D, eps1, precision=jax.lax.Precision.HIGHEST
     )
-    return res, eps1, sig1
+    res = res._replace(x=res.x.reshape(2, n_nodes).T)  # back to (N,2)
+    return res, eps1.T, sig1.T
 
 
 @partial(

@@ -23,33 +23,44 @@ class CGResult(NamedTuple):
 def block_diagonal(Ke, triangles, n_nodes):
     """Per-node 2x2 diagonal blocks of K (block-Jacobi preconditioner —
     markedly more robust than scalar Jacobi for elasticity, especially with
-    the zero-stiffness straddling cells the region semantics produce)."""
+    the zero-stiffness straddling cells the region semantics produce).
+
+    Ke: (6,6,M) element-minor. Returns (2,2,N) — node axis minor, so the
+    blocks tile densely on TPU ((N,2,2) would pad (2,2) up to (8,128))."""
     # Ke dof order (x0,y0,x1,y1,x2,y2): node-a self block = Ke[2a:2a+2, 2a:2a+2]
-    blocks = jnp.stack(
-        [Ke[:, 2 * a : 2 * a + 2, 2 * a : 2 * a + 2] for a in range(3)], axis=1
-    )  # (M, 3, 2, 2)
-    out = jnp.zeros((n_nodes, 2, 2), Ke.dtype)
-    return out.at[triangles.reshape(-1)].add(blocks.reshape(-1, 2, 2))
+    out = jnp.zeros((2, 2, n_nodes), Ke.dtype)
+    for a in range(3):
+        idx = triangles[:, a]
+        for i in range(2):
+            for j in range(2):
+                out = out.at[i, j, idx].add(Ke[2 * a + i, 2 * a + j])
+    return out
 
 
-def invert_blocks(blocks, free_mask):
-    """Inverse of 2x2 SPD blocks; identity on fixed/empty nodes."""
-    a = blocks[:, 0, 0]
-    b = blocks[:, 0, 1]
-    c = blocks[:, 1, 0]
-    d = blocks[:, 1, 1]
+def invert_blocks(blocks, free_mask=None):
+    """Inverse of 2x2 SPD blocks (2,2,N); identity on fixed/empty nodes."""
+    a = blocks[0, 0]
+    b = blocks[0, 1]
+    c = blocks[1, 0]
+    d = blocks[1, 1]
     det = a * d - b * c
     ok = jnp.abs(det) > 1e-30
     inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    one = jnp.ones_like(a)
+    zero = jnp.zeros_like(a)
     inv = jnp.stack(
         [
-            jnp.stack([d * inv_det, -b * inv_det], axis=-1),
-            jnp.stack([-c * inv_det, a * inv_det], axis=-1),
+            jnp.stack(
+                [jnp.where(ok, d * inv_det, one), jnp.where(ok, -b * inv_det, zero)],
+                axis=0,
+            ),
+            jnp.stack(
+                [jnp.where(ok, -c * inv_det, zero), jnp.where(ok, a * inv_det, one)],
+                axis=0,
+            ),
         ],
-        axis=-2,
-    )
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=blocks.dtype), inv.shape)
-    inv = jnp.where(ok[:, None, None], inv, eye)
+        axis=0,
+    )  # (2,2,N)
     # zero rows/cols for fixed nodes are handled by the free mask outside
     return inv
 
@@ -63,7 +74,7 @@ def pcg_solve(
     tol: float = 1e-10,
     max_iters: int = 2000,
     accept_tol: float = None,
-    block_inv=None,
+    precondition=None,
     restarts: int = 1,
 ) -> CGResult:
     """Solve A x = b on the free dofs with Jacobi preconditioning.
@@ -74,13 +85,25 @@ def pcg_solve(
     free_mask: 1.0 for free dofs, 0.0 for Dirichlet-constrained dofs.
     Constrained dofs are held at zero (reference uses u.all = 0 EBCs only,
     fea_analysis.py:363-369).
+    precondition: optional callable r -> M^-1 r (must zero constrained
+    dofs); defaults to scalar Jacobi from `diag`.
 
     `tol` drives the iteration; `converged` reports whether the recomputed
     true residual met `accept_tol` (default 100x tol — CG recurrence can
     stagnate slightly above the target at the dtype's roundoff floor).
+
+    Stagnation early-exit: lanes that hit their f32 roundoff floor stop
+    iterating (no 10% residual reduction within `stall_limit` iterations)
+    and skip their remaining restarts (no 10% reduction across a whole
+    restart). Under vmap a while_loop runs until EVERY lane's cond is
+    false, so without this a single hopeless condition (hinge mechanism)
+    drags the whole plate-group kernel to restarts*max_iters — minutes of
+    device time burned on a solve the caller will resample anyway (and
+    long enough to trip remote-execution watchdogs).
     """
     if accept_tol is None:
         accept_tol = tol * 100.0
+    stall_limit = 300
     dtype = b.dtype
     free = free_mask.astype(dtype)
     bm = b * free
@@ -89,20 +112,7 @@ def pcg_solve(
     def A(u):
         return operator(u * free) * free
 
-    if block_inv is not None:
-
-        def precondition(r):
-            return (
-                jnp.einsum(
-                    "nij,nj->ni",
-                    block_inv,
-                    r,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                * free
-            )
-
-    else:
+    if precondition is None:
 
         def precondition(r):
             return inv_diag * r
@@ -112,14 +122,14 @@ def pcg_solve(
     atol2 = (tol * b_norm) ** 2
 
     def cond(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, k, best_r2, stall, active = state
         r2 = jnp.vdot(r, r)
         not_done = (r2 > atol2) & (k < max_iters)
         healthy = jnp.isfinite(r2)
-        return not_done & healthy
+        return not_done & healthy & (stall < stall_limit) & active
 
     def body(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, k, best_r2, stall, active = state
         Ap = A(p)
         pAp = jnp.vdot(p, Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
@@ -129,13 +139,18 @@ def pcg_solve(
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1)
+        r2 = jnp.vdot(r, r)
+        improved = r2 < 0.9 * best_r2
+        best_r2 = jnp.where(improved, r2, best_r2)
+        stall = jnp.where(improved, 0, stall + 1)
+        return (x, r, p, rz_new, k + 1, best_r2, stall, active)
 
     # Restarted CG (iterative refinement): each restart recomputes the true
     # residual, killing the conjugacy/residual drift that stalls or diverges
     # single-sweep CG in float32 on ill-conditioned plates.
     x = jnp.zeros_like(bm) if x0 is None else x0 * free
     total_iters = jnp.array(0)
+    active = jnp.array(True)
     for _ in range(max(restarts, 1)):
         r = bm - A(x)
         z = precondition(r)
@@ -147,10 +162,17 @@ def pcg_solve(
         r = jnp.where(healthy, r, bm)
         z = jnp.where(healthy, z, precondition(bm))
         rz = jnp.where(healthy, rz, jnp.vdot(r, precondition(r)))
-        x, r, p, rz, k = jax.lax.while_loop(
-            cond, body, (x, r, z, rz, jnp.array(0))
+        r2_start = jnp.vdot(r, r)
+        x, r, p, rz, k, _, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (x, r, z, rz, jnp.array(0), r2_start, jnp.array(0), active),
         )
         total_iters = total_iters + k
+        # Give up remaining restarts once a full restart stops helping
+        # (already converged lanes exit instantly via the r2 > atol2 cond).
+        r2_end = jnp.vdot(r, r)
+        active = active & (r2_end < 0.9 * r2_start)
 
     # Recompute true residual for reporting.
     rtrue = bm - A(x)
@@ -167,7 +189,12 @@ def pcg_solve(
 
 
 def extract_diagonal(Ke, triangles, n_nodes):
-    """Diagonal of assembled K from element blocks (for Jacobi)."""
-    diag_e = jnp.diagonal(Ke, axis1=-2, axis2=-1).reshape(-1, 3, 2)  # (M,3,2)
-    out = jnp.zeros((n_nodes, 2), Ke.dtype)
-    return out.at[triangles.reshape(-1)].add(diag_e.reshape(-1, 2))
+    """Diagonal of assembled K from element blocks (for Jacobi).
+
+    Ke: (6,6,M) element-minor. Returns (N,2)."""
+    out = jnp.zeros((2, n_nodes), Ke.dtype)
+    for a in range(3):
+        idx = triangles[:, a]
+        for c in range(2):
+            out = out.at[c, idx].add(Ke[2 * a + c, 2 * a + c])
+    return out.T

@@ -11,7 +11,7 @@ eliminating the per-image VTK render of the reference
 (fea_analysis.py:463-613).
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,11 +126,15 @@ def build_pixel_map(
     frame: Optional[Frame] = None,
     cell_px: int = 8,
     pad_candidates: int = 0,
+    pad_shapes: Optional[Tuple[int, int]] = None,
 ) -> PixelMap:
     """Locate every pixel center in the mesh. O(pixels * candidates).
 
-    `pad_candidates` fixes the per-cell candidate width so different plates
-    share one compiled locate kernel (rounded up to it if smaller)."""
+    `pad_candidates` fixes the per-cell candidate width and `pad_shapes`
+    (node_bucket, tri_bucket) pads the mesh arrays, so different plates
+    share one compiled locate kernel (the per-mesh recompile otherwise
+    costs ~1 s/plate on a single-core host). Padding is inert: the
+    candidate table only lists real triangles, ghost entries are -1."""
     frame = frame or make_frame(coords, image_size)
     table, n_cells = _bin_triangles(
         coords, triangles, frame, cell_px, pad_to=pad_candidates
@@ -143,12 +147,24 @@ def build_pixel_map(
     cell_id = (rows // cell_px) * n_cells + (cols // cell_px)
     cand = table[cell_id]  # (P, K)
 
+    coords_in = np.asarray(coords, np.float32)
+    tris_in = np.asarray(triangles, np.int32)
+    if pad_shapes is not None:
+        nb = max(pad_shapes[0], len(coords_in))
+        mb = max(pad_shapes[1], len(tris_in))
+        coords_in = np.concatenate(
+            [coords_in, np.zeros((nb - len(coords_in), 2), np.float32)]
+        )
+        tris_in = np.concatenate(
+            [tris_in, np.zeros((mb - len(tris_in), 3), np.int32)]
+        )
+
     from ..utils.device import raster_device
 
     with jax.default_device(raster_device()):
         tri_idx, bary = _locate_kernel(
-            jnp.asarray(coords, jnp.float32),
-            jnp.asarray(triangles, jnp.int32),
+            jnp.asarray(coords_in),
+            jnp.asarray(tris_in),
             jnp.asarray(world, jnp.float32),
             jnp.asarray(cand, jnp.int32),
         )

@@ -32,8 +32,9 @@ def test_element_stiffness_rigid_body_modes():
     D = plane_strain_stiffness(1000.0, 0.3)
     Ke, B, area = element_stiffness(coords, tris, D)
     assert (np.asarray(area) > 0).all()
+    Ke_m = np.asarray(Ke).transpose(2, 0, 1)  # element-minor (6,6,M) -> (M,6,6)
     # symmetry
-    np.testing.assert_allclose(np.asarray(Ke), np.asarray(Ke).transpose(0, 2, 1), atol=1e-9)
+    np.testing.assert_allclose(Ke_m, Ke_m.transpose(0, 2, 1), atol=1e-9)
     # translation x, translation y, rotation are zero-energy
     for e in range(2):
         p = np.asarray(coords)[np.asarray(tris)[e]]
@@ -41,7 +42,7 @@ def test_element_stiffness_rigid_body_modes():
         ty = np.tile([0.0, 1.0], 3)
         rot = np.stack([-p[:, 1], p[:, 0]], axis=1).reshape(-1)
         for mode in (tx, ty, rot):
-            np.testing.assert_allclose(np.asarray(Ke)[e] @ mode, 0.0, atol=1e-6)
+            np.testing.assert_allclose(Ke_m[e] @ mode, 0.0, atol=1e-6)
 
 
 def test_matrix_free_matches_dense():
@@ -95,7 +96,9 @@ def test_pcg_matches_direct_solve():
     # direct reference
     import scipy.sparse.linalg as spla
 
-    K = assemble_scipy_csr(np.asarray(Ke), mesh.triangles, mesh.num_nodes)
+    K = assemble_scipy_csr(
+        np.asarray(Ke).transpose(2, 0, 1), mesh.triangles, mesh.num_nodes
+    )
     fixed_dofs = np.repeat(fixed, 2)
     K = K.tolil()
     for d in np.where(fixed_dofs)[0]:
