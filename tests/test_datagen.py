@@ -233,3 +233,46 @@ def test_generate_data_start_plate_resume(tmp_path):
     )
     assert os.path.getmtime(os.path.join(data_dir, "1", "input.png")) == before
     assert os.path.isfile(os.path.join(data_dir, "2", "1", "magnitudes.txt"))
+
+
+def test_forced_buckets_match_natural_solve():
+    """RunningBuckets forces plates up to shared padded shapes so a chunk
+    compiles once; padding is semantics-free, so a solve at a forced
+    (larger) bucket must match the natural-bucket solve on the real
+    nodes."""
+    from fea_tpu.datagen.batched import PlateSolver
+    from fea_tpu.datagen.conditions import ConditionSampler
+
+    mesh = triangulate(UNIT_SQUARE, mesh_size=0.14)
+    sampler = ConditionSampler(random_seed=3)
+    natural = PlateSolver(mesh, num_steps=2)
+    forced = PlateSolver(
+        mesh,
+        num_steps=2,
+        node_bucket=natural.node_bucket * 2,
+        tri_bucket=natural.tri_bucket * 2,
+        min_incidence_degree=natural.slots_dev.shape[1] + 8,
+    )
+    assert forced.shape_key != natural.shape_key
+
+    problems = []
+    for _ in range(50):
+        p = natural.build_problem(sampler.sample_one(mesh))
+        if not p.structurally_singular():
+            problems.append(p)
+        if len(problems) == 2:
+            break
+    assert len(problems) == 2
+
+    res_n = natural.fetch_batch(natural.dispatch_batch(problems))
+    res_f = forced.fetch_batch(forced.dispatch_batch(problems))
+    compared = 0
+    for rn, rf in zip(res_n, res_f):
+        if not (rn.success and rf.success):
+            continue
+        un, uf = np.asarray(rn.displacements), np.asarray(rf.displacements)
+        assert un.shape == uf.shape  # both sliced back to real nodes
+        scale = max(np.abs(un).max(), 1e-12)
+        assert np.abs(un - uf).max() / scale < 1e-5
+        compared += 1
+    assert compared >= 1
