@@ -348,7 +348,7 @@ def generate_data(
         if verbose:
             print("TIME:", elapsed)
 
-        # Retry CG-level failures (hinge mechanisms etc.) synchronously.
+        # Retry CG-level failures (near-singular systems) synchronously.
         final: Dict[int, Tuple] = {}
         abandon_plate = False
         while pending:

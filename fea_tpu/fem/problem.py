@@ -125,11 +125,15 @@ class StaticProblem:
     def structurally_singular(self) -> bool:
         """Host-side detector for the singular systems the reference's LU
         NaNs on (fea_analysis.py:455-461): a free node with an all-zero row
-        (covered by no stiff element), or a stiff connected component with
-        no Dirichlet-fixed node (floating island — a by-product of the
-        straddling-cell region semantics). Hinge mechanisms (components
-        pinned at a single node) still fall through to the solver's
-        convergence check."""
+        (covered by no stiff element), a stiff connected component with no
+        Dirichlet-fixed node (floating island — a by-product of the
+        straddling-cell region semantics), or a hinge mechanism — a
+        component pinned at exactly one node, which leaves a zero-energy
+        rigid rotation about that node. Two distinct pinned nodes kill all
+        2D rigid modes, so >=2 fixed nodes per stiff component is the
+        structural requirement. Hinges previously fell through to the
+        solver, burning thousands of PCG iterations before the resample
+        loop discarded them; this check costs microseconds."""
         import scipy.sparse as sp
         from scipy.sparse.csgraph import connected_components
 
@@ -147,10 +151,11 @@ class StaticProblem:
             (np.ones(len(rows), dtype=np.int8), (rows, cols)), shape=(n, n)
         )
         n_comp, labels = connected_components(adj, directed=False)
-        has_fixed = np.zeros(n_comp, dtype=bool)
-        np.logical_or.at(has_fixed, labels, self.fixed_nodes)
+        fixed_per_comp = np.bincount(
+            labels[self.fixed_nodes], minlength=n_comp
+        )
         stiff_components = np.unique(labels[covered])
-        return bool(~has_fixed[stiff_components].all())
+        return bool((fixed_per_comp[stiff_components] < 2).any())
 
     def padded(self, node_bucket: int, tri_bucket: int) -> "StaticProblem":
         """Pad to static bucket shapes so solves share compiled kernels.

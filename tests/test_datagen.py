@@ -187,9 +187,8 @@ def test_solve_plate_group_sharded_over_mesh():
     compared = 0
     for b_res, s_res in zip(base, sharded):
         b, s = b_res[0], s_res[0]
-        # hinge-mechanism conditions (undetectable by the structural
-        # check) legitimately fail on both paths; compare only solves
-        # that converge on both.
+        # near-singular conditions legitimately fail on both paths;
+        # compare only solves that converge on both.
         if not (b.success and s.success):
             continue
         bu = np.asarray(b.displacements)

@@ -287,3 +287,37 @@ def test_per_step_solve_mode_matches_scaled():
         np.asarray(fast.displacements),
         atol=1e-8,
     )
+
+
+def test_structurally_singular_detects_hinge():
+    """A stiff component pinned at exactly one node keeps a zero-energy
+    rigid rotation about that node — singular (the reference's LU NaNs or
+    emits garbage on these); two distinct pinned nodes kill all 2D rigid
+    modes."""
+    mesh = triangulate(
+        np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]), mesh_size=0.3
+    )
+    loads = np.zeros((mesh.num_nodes, 2))
+    loads[int(np.argmax(mesh.coords[:, 0]))] = (0.0, -10.0)
+
+    def problem(fixed):
+        return StaticProblem(
+            coords=mesh.coords,
+            triangles=mesh.triangles,
+            young=np.full(mesh.num_triangles, 1000.0),
+            poisson=np.full(mesh.num_triangles, 0.3),
+            fixed_nodes=fixed,
+            loads=loads,
+            num_steps=2,
+        )
+
+    one = np.zeros(mesh.num_nodes, dtype=bool)
+    one[0] = True
+    assert problem(one).structurally_singular()  # hinge
+
+    two = one.copy()
+    two[1] = True
+    assert not problem(two).structurally_singular()
+
+    none = np.zeros(mesh.num_nodes, dtype=bool)
+    assert problem(none).structurally_singular()  # floating island
