@@ -32,6 +32,9 @@ def _add_generate(sub):
     p.add_argument("--batched", action="store_true",
                    help="vmapped multi-plate TPU solve path")
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="Shard the batched plate axis over this many "
+                        "devices (a ('dp',) jax.sharding.Mesh)")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default=None)
     return p
@@ -65,6 +68,7 @@ def _cmd_generate(args):
             data_dir=args.data_dir,
             image_size=args.image_size,
             num_plates=args.num_plates,
+            start_plate=args.start_plate,
             conditions_per_plate=args.conditions_per_plate,
             mesh_size=args.mesh_size,
             save_displacement=args.save_displacement,
@@ -74,6 +78,8 @@ def _cmd_generate(args):
             save_meshes=args.save_meshes,
             seed=args.seed,
             batch_size=args.batch_size,
+            n_devices=args.num_devices,
+            wandb_inject_function=wandb_fn,
         )
         return
 

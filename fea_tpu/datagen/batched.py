@@ -436,10 +436,34 @@ class RunningBuckets:
             self.degree = max(self.degree, int(s.slots_dev.shape[1]))
 
 
+class _PlateJob:
+    """One plate moving through the deferred-retry scheduler."""
+
+    __slots__ = (
+        "mesh", "solver", "pixel_map", "pairs", "results", "retries", "pool"
+    )
+
+    def __init__(self, mesh, pairs, pool):
+        self.mesh = mesh
+        self.solver: Optional[PlateSolver] = None
+        self.pixel_map = None
+        self.pairs = pairs  # [(condition, problem)] per slot
+        self.results = [None] * len(pairs)
+        self.retries = 0
+        self.pool = pool  # per-plate clustering cache for cheap resamples
+
+    def pending(self) -> List[int]:
+        return [i for i, r in enumerate(self.results) if r is None]
+
+    def complete(self) -> bool:
+        return all(r is not None for r in self.results)
+
+
 def generate_data_batched(
     data_dir: str = "data/",
     image_size: int = 512,
     num_plates: int = 8,
+    start_plate: Optional[int] = None,
     conditions_per_plate: int = 4,
     mesh_size: float = 1e-2,
     num_polygons_range=(1, 3),
@@ -455,22 +479,39 @@ def generate_data_batched(
     seed=None,
     batch_size: int = 4,
     max_condition_retries: int = 30,
+    n_devices: Optional[int] = None,
+    wandb_inject_function=None,
+    stage_timer=None,
     verbose: bool = True,
 ) -> Dict:
     """Multi-plate batched datagen (BASELINE config 3 — 'batched datagen').
 
-    `batch_size` defaults to 4: the group solve is one long-running vmapped
-    while_loop, and every lane runs until the SLOWEST lane finishes, so
-    very large groups pay a lockstep tax — and on tunneled devices a
-    multi-minute kernel can trip the remote watchdog. 4 plates x 4
-    conditions = 16 lanes is the sweet spot measured on v5e.
+    The throughput path. Built for high-latency device links, where the
+    fetch round trip (~2 s on a tunneled TPU, regardless of payload size)
+    dominates everything else:
 
-    Built for high-latency device links: a chunk of `batch_size` plates is
-    padded to shared (monotone running-max) buckets so ALL of its solves run
-    as ONE device program — one dispatch + one packed fetch per chunk,
-    instead of one per plate. The loop is software-pipelined: while chunk
-    k's solves are in flight, the host preps chunk k+1 (meshing,
-    clustering, condition checks) and builds chunk k's pixel maps."""
+      * a chunk of `batch_size` plates is padded to shared monotone
+        running-max buckets so ALL of its solves run as ONE device program
+        — one dispatch + ONE packed fetch per chunk;
+      * failed (near-singular) conditions are NOT retried synchronously:
+        the plate is re-queued and its resampled conditions ride the NEXT
+        chunk's dispatch, so retries cost zero extra round trips (the
+        reference pays a fresh SuperLU factorization to discover each NaN,
+        fea_analysis.py:455-461);
+      * host work (meshing, clustering, pixel maps, PNG writes) happens
+        while solves are in flight.
+
+    `batch_size` plates/dispatch defaults to 4: the group solve is one
+    vmapped while_loop and every lane runs to the SLOWEST lane's finish, so
+    big groups pay a lockstep tax — and on tunneled devices a multi-minute
+    kernel can trip the remote watchdog. 4 plates x 4 conditions = 16 lanes
+    measured best on v5e.
+
+    `n_devices` shards the plate axis of every dispatch over a ('dp',)
+    jax.sharding.Mesh of that many devices (chunks are padded to a multiple
+    of n_devices); each device solves its plates independently — ICI is
+    only crossed by the final gather of the packed results.
+    """
     import os
     from timeit import default_timer as timer
 
@@ -478,6 +519,7 @@ def generate_data_batched(
     from ..mesh import MeshError, triangulate_polygon
     from ..raster import build_pixel_map, geometry_image, outline_image
     from ..utils.device import enable_compilation_cache
+    from ..utils.profiling import StageTimer
     from .conditions import ConditionSampler
     from .pipeline import _write_condition
     from .writers import save_gray_png, verify_directory
@@ -497,175 +539,143 @@ def generate_data_batched(
     )
     include_cell_fields = save_strain or save_stress or save_meshes
     buckets = RunningBuckets()
+    stages = stage_timer if stage_timer is not None else StageTimer()
+
+    sharding = None
+    group_size = batch_size
+    if n_devices is not None and n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import make_mesh
+
+        dp_mesh = make_mesh(n_devices)
+        sharding = NamedSharding(dp_mesh, PartitionSpec("dp"))
+        # chunks must be a multiple of the device count
+        group_size = max(batch_size, n_devices)
+        group_size += (-group_size) % n_devices
 
     stats = {"plates": 0, "solves": 0, "failures": 0, "total_solve_time": 0.0}
+    run_start = timer()
 
-    def nonsingular_pairs(mesh):
-        """(condition, problem) pairs for one plate, resampling past
-        structurally singular draws; None to redraw the plate."""
-        conditions = condition_sampler.sample(mesh, conditions_per_plate)
-        pairs = []
-        retries = 0
-        for condition in conditions:
-            while True:
-                problem = StaticProblem.from_condition(
-                    mesh,
-                    material_regions=condition["material_regions"],
-                    point_constraints=condition["point_constraints"],
-                    edge_constraints=condition["edge_constraints"],
-                    point_forces=condition["point_forces"],
-                    edge_forces=condition["edge_forces"],
-                    num_steps=num_steps_per_condition,
-                )
-                if not problem.structurally_singular():
-                    pairs.append((condition, problem))
-                    break
-                stats["solves"] += 1
-                stats["failures"] += 1
-                retries += 1
-                if retries > max_condition_retries:
-                    return None
-                condition = condition_sampler.sample_one(mesh)
-        return pairs
+    def fresh_pair(mesh, pool):
+        """One non-structurally-singular (condition, problem), or None if
+        the budget is blown. Cached clusterings make resamples cheap."""
+        budget = max_condition_retries
+        while True:
+            condition = condition_sampler.sample_one(mesh, cluster_pool=pool)
+            problem = StaticProblem.from_condition(
+                mesh,
+                material_regions=condition["material_regions"],
+                point_constraints=condition["point_constraints"],
+                edge_constraints=condition["edge_constraints"],
+                point_forces=condition["point_forces"],
+                edge_forces=condition["edge_forces"],
+                num_steps=num_steps_per_condition,
+            )
+            if not problem.structurally_singular():
+                return condition, problem
+            stats["solves"] += 1
+            stats["failures"] += 1
+            budget -= 1
+            if budget <= 0:
+                return None
 
-    def prep_chunk(chunk: int):
-        """Host prep of `chunk` plates: geometry -> mesh -> conditions."""
-        plates = []  # (mesh, pairs)
-        while len(plates) < chunk:
+    def prep_job() -> _PlateJob:
+        """Host prep of one plate: geometry -> mesh -> C viable conditions."""
+        while True:
             try:
-                polygon = geometry_sampler.generate()
-                mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
+                with stages.stage("geometry"):
+                    polygon = geometry_sampler.generate()
+                with stages.stage("mesh"):
+                    mesh = triangulate_polygon(polygon, mesh_size=mesh_size)
             except (GeometryError, MeshError):
                 continue
-            pairs = nonsingular_pairs(mesh)
-            if pairs is None:
-                continue  # redraw plate
-            plates.append((mesh, pairs))
-        return plates
+            pool: List = []
+            with stages.stage("conditions"):
+                try:
+                    conditions = condition_sampler.sample(
+                        mesh, conditions_per_plate, cluster_pool=pool
+                    )
+                except RuntimeError:
+                    continue  # sampler did not converge: redraw plate
+                pairs = []
+                ok = True
+                for condition in conditions:
+                    problem = StaticProblem.from_condition(
+                        mesh,
+                        material_regions=condition["material_regions"],
+                        point_constraints=condition["point_constraints"],
+                        edge_constraints=condition["edge_constraints"],
+                        point_forces=condition["point_forces"],
+                        edge_forces=condition["edge_forces"],
+                        num_steps=num_steps_per_condition,
+                    )
+                    if problem.structurally_singular():
+                        stats["solves"] += 1
+                        stats["failures"] += 1
+                        pair = fresh_pair(mesh, pool)
+                        if pair is None:
+                            ok = False
+                            break
+                        pairs.append(pair)
+                    else:
+                        pairs.append((condition, problem))
+            if ok:
+                return _PlateJob(mesh, pairs, pool)
 
-    def dispatch_chunk(plates):
-        """Pad the chunk to shared buckets and dispatch every solve as one
-        device program per (rarely >1) shape group. Returns [(payloads,
-        solvers-aligned entries, token), ...] without blocking."""
-        buckets.update(m for m, _ in plates)
-        solvers = [
-            PlateSolver(
-                mesh,
+    def ensure_solver(job: _PlateJob) -> None:
+        """(Re)build the job's solver at the CURRENT running buckets, so
+        every payload of a dispatch shares one shape key (one compiled
+        kernel, one fetch)."""
+        key = (buckets.node, buckets.tri)
+        if (
+            job.solver is not None
+            and job.solver.node_bucket == key[0]
+            and job.solver.tri_bucket == key[1]
+            and job.solver.slots_dev.shape[1] >= buckets.degree
+        ):
+            return
+        with stages.stage("solver_build"):
+            job.solver = PlateSolver(
+                job.mesh,
                 num_steps_per_condition,
                 node_bucket=buckets.node,
                 tri_bucket=buckets.tri,
                 min_incidence_degree=buckets.degree,
                 include_cell_fields=include_cell_fields,
             )
-            for mesh, _ in plates
-        ]
-        buckets.update_degree(solvers)
-        groups: Dict = {}
-        for solver, (mesh, pairs) in zip(solvers, plates):
-            groups.setdefault(solver.shape_key, []).append(
-                (mesh, solver, pairs)
-            )
-        dispatched = []
-        for entries in groups.values():
-            payloads = [
-                (solver, [p for _, p in pairs])
-                for _, solver, pairs in entries
-            ]
-            pad_to = len(payloads)
-            for candidate in (1, 2, 4, batch_size):
-                if candidate >= pad_to:
-                    pad_to = candidate
-                    break
-            token = dispatch_plate_group(payloads, pad_group_to=pad_to)
-            dispatched.append((payloads, entries, token))
-        return dispatched
 
-    plate_index = 0
-    next_plates = prep_chunk(min(batch_size, num_plates))
-    while plate_index < num_plates:
-        plates = next_plates
-        t0 = timer()
-        dispatched = dispatch_chunk(plates)  # async — solves in flight
-
-        # ---- overlap the in-flight solves with host work ----------------
-        remaining = num_plates - plate_index - len(plates)
-        next_plates = prep_chunk(min(batch_size, remaining)) if remaining else None
-        pixel_maps = {
-            id(mesh): build_pixel_map(
-                mesh.coords,
-                mesh.triangles,
-                image_size,
-                pad_candidates=32,
-                pad_shapes=(buckets.node, buckets.tri),
-            )
-            for mesh, _ in plates
-        }
-
-        # ---- fetch: one round trip per group -----------------------------
-        chunk_results = []  # (mesh, solver, pairs, results) in plate order
-        by_mesh = {}
-        for payloads, entries, token in dispatched:
-            solved = fetch_plate_group(token, payloads)
-            for (mesh, solver, pairs), results in zip(entries, solved):
-                by_mesh[id(mesh)] = (mesh, solver, pairs, results)
-        for mesh, _ in plates:
-            chunk_results.append(by_mesh[id(mesh)])
-        stats["total_solve_time"] += timer() - t0
-        stats["solves"] += sum(len(pairs) for _, pairs in plates)
-
-        # ---- failures: resample + single-plate batch retries -------------
-        for mesh, solver, pairs, results in chunk_results:
-            retries = 0
-            while any(not r.success for r in results):
-                retry_idx = [i for i, r in enumerate(results) if not r.success]
-                stats["failures"] += len(retry_idx)
-                retries += len(retry_idx)
-                if retries > max_condition_retries:
-                    break
-                new_pairs = []
-                for i in retry_idx:
-                    while True:
-                        condition = condition_sampler.sample_one(mesh)
-                        problem = solver.build_problem(condition)
-                        if not problem.structurally_singular():
-                            break
-                        stats["failures"] += 1
-                        retries += 1
-                    pairs[i] = (condition, problem)
-                    new_pairs.append(problem)
-                t0 = timer()
-                token = solver.dispatch_batch(
-                    new_pairs + [new_pairs[-1]]
-                    * (conditions_per_plate - len(new_pairs))
+    def write_job(job: _PlateJob, plate_number: int) -> None:
+        with stages.stage("pixel_map"):
+            if job.pixel_map is None:
+                job.pixel_map = build_pixel_map(
+                    job.mesh.coords,
+                    job.mesh.triangles,
+                    image_size,
+                    pad_candidates=32,
+                    pad_shapes=(buckets.node, buckets.tri),
                 )
-                retry_results = solver.fetch_batch(token)[: len(new_pairs)]
-                stats["total_solve_time"] += timer() - t0
-                stats["solves"] += len(new_pairs)
-                for i, r in zip(retry_idx, retry_results):
-                    results[i] = r
-
-            # ---- write ----------------------------------------------------
-            if any(not r.success for r in results):
-                if verbose:
-                    print(f"abandoning plate {plate_index + 1} (unsatisfiable)")
-                plate_index += 1
-                continue
-            pixel_map = pixel_maps[id(mesh)]
-            plate_dir = os.path.join(data_dir, str(plate_index + 1))
+        with stages.stage("write"):
+            plate_dir = os.path.join(data_dir, str(plate_number))
             verify_directory(plate_dir)
             save_gray_png(
                 os.path.join(plate_dir, "outline.png"),
-                outline_image(pixel_map, mesh.coords, mesh.ring_corner_ids),
+                outline_image(
+                    job.pixel_map, job.mesh.coords, job.mesh.ring_corner_ids
+                ),
             )
             save_gray_png(
-                os.path.join(plate_dir, "input.png"), geometry_image(pixel_map)
+                os.path.join(plate_dir, "input.png"),
+                geometry_image(job.pixel_map),
             )
-            for slot, ((condition, _), result) in enumerate(zip(pairs, results)):
+            for slot, ((condition, _), result) in enumerate(
+                zip(job.pairs, job.results)
+            ):
                 condition_dir = os.path.join(plate_dir, str(slot + 1))
                 verify_directory(condition_dir)
                 _write_condition(
-                    mesh,
-                    pixel_map,
+                    job.mesh,
+                    job.pixel_map,
                     condition,
                     result,
                     condition_dir,
@@ -675,11 +685,135 @@ def generate_data_batched(
                     save_stress,
                     save_meshes,
                 )
-            stats["plates"] += 1
-            plate_index += 1
-        if verbose:
-            print(
-                f"chunk done: {stats['plates']} plates, "
-                f"solve time {stats['total_solve_time']:.1f}s"
+
+    from collections import deque
+
+    ready: deque = deque()  # jobs with pending solves
+    writes: deque = deque()  # completed jobs awaiting disk writes
+    plate_seq = (start_plate - 1) if start_plate is not None else 0
+    written = 0
+
+    def in_system() -> int:
+        return len(ready) + len(writes)
+
+    # Pipeline fill: prep the first chunk (nothing to overlap with yet).
+    while in_system() + written < num_plates and len(ready) < group_size:
+        ready.append(prep_job())
+
+    while written < num_plates:
+        # ---- assemble + dispatch one chunk (ONE device program) ----------
+        jobs = [ready.popleft() for _ in range(min(group_size, len(ready)))]
+        t0 = timer()
+        buckets.update(j.mesh for j in jobs)
+        for job in jobs:
+            ensure_solver(job)
+        wmax = max(j.solver.slots_dev.shape[1] for j in jobs)
+        if wmax > buckets.degree:
+            buckets.degree = wmax
+            for job in jobs:
+                ensure_solver(job)  # rebuild the narrower ones
+        payloads = []
+        pendings = []
+        for job in jobs:
+            idx = job.pending()
+            probs = [job.pairs[i][1] for i in idx]
+            while len(probs) < conditions_per_plate:  # pad retry lanes
+                probs.append(probs[-1])
+            payloads.append((job.solver, probs))
+            pendings.append(idx)
+        with stages.stage("dispatch"):
+            token = dispatch_plate_group(
+                payloads, sharding=sharding, pad_group_to=group_size
             )
+        stats["solves"] += sum(len(i) for i in pendings)
+
+        # ---- overlap in-flight solves with host work ----------------------
+        with stages.stage("overlap_host"):
+            for job in jobs:  # pixel maps for the plates just dispatched
+                if job.pixel_map is None:
+                    with stages.stage("pixel_map"):
+                        job.pixel_map = build_pixel_map(
+                            job.mesh.coords,
+                            job.mesh.triangles,
+                            image_size,
+                            pad_candidates=32,
+                            pad_shapes=(buckets.node, buckets.tri),
+                        )
+            while writes:  # drain completed plates to disk
+                job = writes.popleft()
+                plate_seq += 1
+                write_job(job, plate_seq)
+                written += 1
+                stats["plates"] += 1
+                if wandb_inject_function is not None:
+                    elapsed = timer() - run_start
+                    remaining = (
+                        (num_plates - written) * elapsed / max(written, 1)
+                    )
+                    wandb_inject_function(plate_seq - 1, elapsed, remaining)
+                if verbose:
+                    rate = written / max(timer() - run_start, 1e-9) * 3600
+                    print(
+                        f"plate {plate_seq} written "
+                        f"({written}/{num_plates}, {rate:.0f} plates/h)"
+                    )
+            # refill the queue for the next chunk
+            while (
+                in_system() + len(jobs) + written < num_plates
+                and len(ready) < group_size
+            ):
+                ready.append(prep_job())
+
+        # ---- fetch: ONE round trip for the whole chunk ---------------------
+        with stages.stage("fetch"):
+            solved = fetch_plate_group(token, payloads)
+        stats["total_solve_time"] += timer() - t0
+
+        for job, idx, results in zip(jobs, pendings, solved):
+            for slot, result in zip(idx, results):
+                if result.success:
+                    job.results[slot] = result
+                else:
+                    stats["failures"] += 1
+                    job.retries += 1
+                    with stages.stage("conditions"):
+                        pair = (
+                            fresh_pair(job.mesh, job.pool)
+                            if job.retries <= max_condition_retries
+                            else None
+                        )
+                    if pair is None:
+                        job.retries = -1  # abandon marker
+                        break
+                    job.pairs[slot] = pair
+            if job.retries < 0:
+                if verbose:
+                    print("abandoning unsatisfiable plate")
+                continue  # dropped; queue refill preps a replacement
+            if job.complete():
+                writes.append(job)
+            else:
+                ready.append(job)  # retry rides the next chunk
+
+        # Nothing left to dispatch: drain the remaining writes now.
+        if not ready:
+            while writes and written < num_plates:
+                job = writes.popleft()
+                plate_seq += 1
+                write_job(job, plate_seq)
+                written += 1
+                stats["plates"] += 1
+                if wandb_inject_function is not None:
+                    elapsed = timer() - run_start
+                    remaining = (
+                        (num_plates - written) * elapsed / max(written, 1)
+                    )
+                    wandb_inject_function(plate_seq - 1, elapsed, remaining)
+            while in_system() + written < num_plates and len(ready) < group_size:
+                ready.append(prep_job())
+
+    if verbose:
+        print("TOTAL TIME:", timer() - run_start)
+        print(stages.summary())
+    stats["stage_seconds"] = stages.as_dict()
     return stats

@@ -37,8 +37,22 @@ class ConditionSampler:
         self.random = random.Random(random_seed)
         self.max_attempts = max_attempts_per_condition
 
-    def sample(self, mesh, num_conditions: int = 4) -> List[Dict]:
-        """Sample conditions against a fea_tpu.mesh.Mesh's tag contract."""
+    def sample(
+        self,
+        mesh,
+        num_conditions: int = 4,
+        cluster_pool: Optional[List] = None,
+        reuse_probability: float = 0.8,
+    ) -> List[Dict]:
+        """Sample conditions against a fea_tpu.mesh.Mesh's tag contract.
+
+        `cluster_pool`, when given, is a per-plate cache of region
+        partitions: fresh clusterings are appended to it, and subsequent
+        draws reuse a cached partition with `reuse_probability`. Clustering
+        is the dominant host cost of condition *re*-sampling (structurally
+        singular draws are common — the reference solves them to NaN,
+        fea_analysis.py:455-461, we reject on host), so retries shouldn't
+        pay k-means again."""
         corner_ids = mesh.all_corner_ids()
         all_edges = mesh.all_edges()
         conditions: List[Dict] = []
@@ -85,9 +99,17 @@ class ConditionSampler:
                 ),
             )
 
-            regions = cluster_regions(
-                mesh.coords[:, :2], self.num_regions_range, self.random
-            )
+            if (
+                cluster_pool
+                and self.random.random() < reuse_probability
+            ):
+                regions = self.random.choice(cluster_pool)
+            else:
+                regions = cluster_regions(
+                    mesh.coords[:, :2], self.num_regions_range, self.random
+                )
+                if cluster_pool is not None:
+                    cluster_pool.append(regions)
             non_empty = [r for r in regions if len(r) > 0]
             mats = [
                 self.random.choice(MATERIALS).as_tuple() for _ in non_empty
@@ -120,8 +142,18 @@ class ConditionSampler:
             ]
         return conditions
 
-    def sample_one(self, mesh) -> Dict:
-        return self.sample(mesh, num_conditions=1)[0]
+    def sample_one(
+        self,
+        mesh,
+        cluster_pool: Optional[List] = None,
+        reuse_probability: float = 0.8,
+    ) -> Dict:
+        return self.sample(
+            mesh,
+            num_conditions=1,
+            cluster_pool=cluster_pool,
+            reuse_probability=reuse_probability,
+        )[0]
 
     def _magnitude(self) -> Tuple[int, int]:
         r = self.random

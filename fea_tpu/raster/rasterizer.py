@@ -112,14 +112,15 @@ def node_splat_image(
         return img
     pix = pixel_map.frame.pixel_of_world(np.asarray(coords)[np.asarray(node_ids)])
     r = int(np.ceil(radius))
-    for col, row in pix:
-        c0, r0 = int(round(col)), int(round(row))
-        for dr in range(-r, r + 1):
-            for dc in range(-r, r + 1):
-                if dr * dr + dc * dc <= radius * radius:
-                    rr, cc = r0 + dr, c0 + dc
-                    if 0 <= rr < S and 0 <= cc < S:
-                        img[rr, cc] = 0
+    dr, dc = np.mgrid[-r : r + 1, -r : r + 1]
+    disk = (dr * dr + dc * dc) <= radius * radius
+    dr, dc = dr[disk], dc[disk]  # (D,)
+    c0 = np.round(pix[:, 0]).astype(np.int64)[:, None]  # (K,1)
+    r0 = np.round(pix[:, 1]).astype(np.int64)[:, None]
+    rr = (r0 + dr).ravel()
+    cc = (c0 + dc).ravel()
+    keep = (rr >= 0) & (rr < S) & (cc >= 0) & (cc < S)
+    img[rr[keep], cc[keep]] = 0
     return img
 
 
@@ -151,14 +152,16 @@ def outline_image(
     for ring in ring_corner_lists:
         pts = np.asarray(coords)[np.asarray(ring)]
         pix = pixel_map.frame.pixel_of_world(pts)
-        m = len(pix)
-        for i in range(m):
-            a = pix[i]
-            b = pix[(i + 1) % m]
-            n = max(2, int(np.hypot(*(b - a)) * 2))
-            for t in np.linspace(0, 1, n):
-                col, row = a + t * (b - a)
-                r0, c0 = int(round(row)), int(round(col))
-                if 0 <= r0 < S and 0 <= c0 < S:
-                    img[r0, c0] = 0
+        a = pix  # (m,2)
+        b = np.roll(pix, -1, axis=0)
+        seg = b - a
+        n = np.maximum(2, (np.hypot(seg[:, 0], seg[:, 1]) * 2).astype(np.int64))
+        # sample every segment at its own resolution in one flat batch
+        reps = np.repeat(np.arange(len(a)), n)
+        local = np.concatenate([np.linspace(0.0, 1.0, k) for k in n])
+        p = a[reps] + local[:, None] * seg[reps]
+        c0 = np.round(p[:, 0]).astype(np.int64)
+        r0 = np.round(p[:, 1]).astype(np.int64)
+        keep = (r0 >= 0) & (r0 < S) & (c0 >= 0) & (c0 < S)
+        img[r0[keep], c0[keep]] = 0
     return img
