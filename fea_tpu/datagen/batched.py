@@ -19,6 +19,7 @@ import numpy as np
 from functools import partial
 
 from ..fem.assembly import build_incidence
+from ..fem.coarse import build_aggregates, n_coarse_for_bucket
 from ..fem.problem import (
     SolveResult,
     StaticProblem,
@@ -27,19 +28,22 @@ from ..fem.problem import (
     unpack_solve,
 )
 from ..mesh import Mesh
-from .pipeline import next_bucket
+from .pipeline import DATAGEN_ACCEPT_TOL, next_bucket
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "tol", "max_iters", "accept_tol", "restarts", "include_cell_fields",
+        "n_coarse",
     ),
 )
 def _solve_batch_kernel(
     coords,
     triangles,
     incidence_slots,
+    agg_ids,
+    arms,
     young_b,
     poisson_b,
     free_b,
@@ -50,6 +54,7 @@ def _solve_batch_kernel(
     accept_tol: float,
     restarts: int,
     include_cell_fields: bool = True,
+    n_coarse: int = 0,
 ):
     """vmap of the packed solve over conditions sharing one mesh scaffold.
     One dispatch + one fetch for a whole batch of conditions (or plates of
@@ -59,6 +64,7 @@ def _solve_batch_kernel(
         res, eps1, sig1 = _solve_core(
             coords, triangles, young, poisson, incidence_slots, free, loads,
             tol, max_iters, accept_tol, restarts,
+            agg_ids=agg_ids, arms=arms, n_coarse=n_coarse,
         )
         f32 = jnp.float32
         parts = [res.x.reshape(-1).astype(f32)]
@@ -99,12 +105,15 @@ def _failed_result(num_steps: int, n: int, m: int) -> SolveResult:
     jax.jit,
     static_argnames=(
         "tol", "max_iters", "accept_tol", "restarts", "include_cell_fields",
+        "n_coarse",
     ),
 )
 def _solve_multi_plate_kernel(
     coords_p,  # (P, Nb, 2)
     triangles_p,  # (P, Mb, 3)
     slots_p,  # (P, 2*Nb, W)
+    agg_p,  # (P, Nb)
+    arms_p,  # (P, Nb, 2)
     young_pc,  # (P, C, Mb)
     poisson_pc,
     free_pc,  # (P, C, Nb)
@@ -115,16 +124,18 @@ def _solve_multi_plate_kernel(
     accept_tol: float,
     restarts: int,
     include_cell_fields: bool = True,
+    n_coarse: int = 0,
 ):
     """Two-level vmap: plates (distinct meshes, same bucket) x conditions.
     One dispatch + one fetch for a whole group of plates — the multi-chip
     scale-out surface (shard the plate axis over a 'dp' mesh and XLA runs
     each device's plates independently)."""
 
-    def single(coords, triangles, slots, young, poisson, free, loads):
+    def single(coords, triangles, slots, agg_ids, arms, young, poisson, free, loads):
         res, eps1, sig1 = _solve_core(
             coords, triangles, young, poisson, slots, free, loads,
             tol, max_iters, accept_tol, restarts,
+            agg_ids=agg_ids, arms=arms, n_coarse=n_coarse,
         )
         f32 = jnp.float32
         parts = [res.x.reshape(-1).astype(f32)]
@@ -144,10 +155,13 @@ def _solve_multi_plate_kernel(
         )
         return jnp.concatenate(parts)
 
-    inner = jax.vmap(single, in_axes=(None, None, None, 0, 0, 0, 0))
-    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    inner = jax.vmap(
+        single, in_axes=(None, None, None, None, None, 0, 0, 0, 0)
+    )
+    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
     return outer(
-        coords_p, triangles_p, slots_p, young_pc, poisson_pc, free_pc, loads_pc
+        coords_p, triangles_p, slots_p, agg_p, arms_p,
+        young_pc, poisson_pc, free_pc, loads_pc,
     )
 
 
@@ -161,7 +175,7 @@ class PlateSolver:
         dtype=jnp.float32,
         tol: Optional[float] = None,
         max_iters: int = 6000,
-        accept_tol: float = 1e-4,
+        accept_tol: float = DATAGEN_ACCEPT_TOL,
         restarts: Optional[int] = None,
         include_cell_fields: bool = True,
         node_bucket: Optional[int] = None,
@@ -181,8 +195,12 @@ class PlateSolver:
         self.dtype = jnp.dtype(dtype)
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             self.dtype = jnp.dtype(jnp.float32)
+        # Datagen iteration target 1e-5 (f32): measured displacement error at
+        # rnorm 1e-5 is ~1e-7..1e-6 relative — polishing to the 1e-6 floor
+        # costs ~30-50% more lockstep iterations for precision the uint8
+        # image pipeline cannot represent.
         self.tol = tol if tol is not None else (
-            1e-10 if self.dtype == jnp.float64 else 1e-6
+            1e-10 if self.dtype == jnp.float64 else 1e-5
         )
         self.max_iters = max_iters
         self.accept_tol = accept_tol
@@ -211,6 +229,14 @@ class PlateSolver:
         self.coords_dev = jnp.asarray(scaffold.coords, self.dtype)
         self.triangles_dev = jnp.asarray(scaffold.triangles, jnp.int32)
         self.slots_dev = incidence.slots
+        # Coarse rigid-body-mode space (condition-independent, per plate;
+        # a pure function of node_bucket so grouped plates share shapes).
+        self.n_coarse = n_coarse_for_bucket(self.node_bucket)
+        space = build_aggregates(
+            scaffold.coords, self.n_coarse, n_real=self.n
+        )
+        self.agg_dev = jnp.asarray(space.agg_ids)
+        self.arms_dev = jnp.asarray(space.arms, self.dtype)
 
     def build_problem(self, condition: Dict) -> StaticProblem:
         return StaticProblem.from_condition(
@@ -240,11 +266,14 @@ class PlateSolver:
             self.slots_dev,
             jnp.asarray(free, self.dtype),
             jnp.asarray(loads, self.dtype),
+            self.agg_dev,
+            self.arms_dev,
             tol=self.tol,
             max_iters=self.max_iters,
             accept_tol=self.accept_tol,
             restarts=self.restarts,
             include_cell_fields=self.include_cell_fields,
+            n_coarse=self.n_coarse,
         )
 
     def fetch(self, token) -> SolveResult:
@@ -279,6 +308,8 @@ class PlateSolver:
             self.coords_dev,
             self.triangles_dev,
             self.slots_dev,
+            self.agg_dev,
+            self.arms_dev,
             young_b,
             poisson_b,
             free_b,
@@ -288,6 +319,7 @@ class PlateSolver:
             accept_tol=self.accept_tol,
             restarts=self.restarts,
             include_cell_fields=self.include_cell_fields,
+            n_coarse=self.n_coarse,
         )
 
     def fetch_batch(self, token) -> List[SolveResult]:
@@ -335,6 +367,8 @@ def dispatch_plate_group(
     coords_p = jnp.stack([s.coords_dev for s, _ in payloads])
     tris_p = jnp.stack([s.triangles_dev for s, _ in payloads])
     slots_p = jnp.stack([s.slots_dev for s, _ in payloads])
+    agg_p = jnp.stack([s.agg_dev for s, _ in payloads])
+    arms_p = jnp.stack([s.arms_dev for s, _ in payloads])
 
     young, poisson, free, loads = [], [], [], []
     for s, problems in payloads:
@@ -348,6 +382,8 @@ def dispatch_plate_group(
         coords_p,
         tris_p,
         slots_p,
+        agg_p,
+        arms_p,
         jnp.asarray(np.stack(young), dtype),
         jnp.asarray(np.stack(poisson), dtype),
         jnp.asarray(np.stack(free), dtype),
@@ -363,6 +399,7 @@ def dispatch_plate_group(
         accept_tol=solver0.accept_tol,
         restarts=solver0.restarts,
         include_cell_fields=solver0.include_cell_fields,
+        n_coarse=solver0.n_coarse,
     )
 
 
@@ -690,18 +727,20 @@ def generate_data_batched(
 
     ready: deque = deque()  # jobs with pending solves
     writes: deque = deque()  # completed jobs awaiting disk writes
+    flights: deque = deque()  # dispatched chunks: (t0, token, payloads, jobs, pendings)
     plate_seq = (start_plate - 1) if start_plate is not None else 0
     written = 0
+    MAX_FLIGHTS = 2  # double-buffer: chunk k+1 queues while k executes
 
     def in_system() -> int:
-        return len(ready) + len(writes)
+        return (
+            len(ready)
+            + len(writes)
+            + sum(len(jobs) for _, _, _, jobs, _ in flights)
+        )
 
-    # Pipeline fill: prep the first chunk (nothing to overlap with yet).
-    while in_system() + written < num_plates and len(ready) < group_size:
-        ready.append(prep_job())
-
-    while written < num_plates:
-        # ---- assemble + dispatch one chunk (ONE device program) ----------
+    def dispatch_chunk():
+        """Assemble one chunk from `ready` and dispatch it (async)."""
         jobs = [ready.popleft() for _ in range(min(group_size, len(ready)))]
         t0 = timer()
         buckets.update(j.mesh for j in jobs)
@@ -726,45 +765,65 @@ def generate_data_batched(
                 payloads, sharding=sharding, pad_group_to=group_size
             )
         stats["solves"] += sum(len(i) for i in pendings)
+        flights.append((t0, token, payloads, jobs, pendings))
+
+    def drain_writes():
+        nonlocal plate_seq, written
+        while writes:
+            job = writes.popleft()
+            plate_seq += 1
+            write_job(job, plate_seq)
+            written += 1
+            stats["plates"] += 1
+            if wandb_inject_function is not None:
+                elapsed = timer() - run_start
+                remaining = (
+                    (num_plates - written) * elapsed / max(written, 1)
+                )
+                wandb_inject_function(plate_seq - 1, elapsed, remaining)
+            if verbose:
+                rate = written / max(timer() - run_start, 1e-9) * 3600
+                print(
+                    f"plate {plate_seq} written "
+                    f"({written}/{num_plates}, {rate:.0f} plates/h)"
+                )
+
+    # Pipeline fill: prep the first chunk (nothing to overlap with yet).
+    while in_system() + written < num_plates and len(ready) < group_size:
+        ready.append(prep_job())
+
+    while written < num_plates:
+        # ---- keep up to MAX_FLIGHTS chunks queued on the device ----------
+        while len(flights) < MAX_FLIGHTS:
+            # top the queue up first so retries merge into full chunks and
+            # the prep work overlaps any solves already in flight
+            with stages.stage("overlap_host"):
+                while (
+                    in_system() + written < num_plates
+                    and len(ready) < group_size
+                ):
+                    ready.append(prep_job())
+            if not ready:
+                break
+            dispatch_chunk()
 
         # ---- overlap in-flight solves with host work ----------------------
         with stages.stage("overlap_host"):
-            for job in jobs:  # pixel maps for the plates just dispatched
-                if job.pixel_map is None:
-                    with stages.stage("pixel_map"):
-                        job.pixel_map = build_pixel_map(
-                            job.mesh.coords,
-                            job.mesh.triangles,
-                            image_size,
-                            pad_candidates=32,
-                            pad_shapes=(buckets.node, buckets.tri),
-                        )
-            while writes:  # drain completed plates to disk
-                job = writes.popleft()
-                plate_seq += 1
-                write_job(job, plate_seq)
-                written += 1
-                stats["plates"] += 1
-                if wandb_inject_function is not None:
-                    elapsed = timer() - run_start
-                    remaining = (
-                        (num_plates - written) * elapsed / max(written, 1)
-                    )
-                    wandb_inject_function(plate_seq - 1, elapsed, remaining)
-                if verbose:
-                    rate = written / max(timer() - run_start, 1e-9) * 3600
-                    print(
-                        f"plate {plate_seq} written "
-                        f"({written}/{num_plates}, {rate:.0f} plates/h)"
-                    )
-            # refill the queue for the next chunk
-            while (
-                in_system() + len(jobs) + written < num_plates
-                and len(ready) < group_size
-            ):
-                ready.append(prep_job())
+            for _, _, _, jobs, _ in flights:
+                for job in jobs:  # pixel maps for dispatched plates
+                    if job.pixel_map is None:
+                        with stages.stage("pixel_map"):
+                            job.pixel_map = build_pixel_map(
+                                job.mesh.coords,
+                                job.mesh.triangles,
+                                image_size,
+                                pad_candidates=32,
+                                pad_shapes=(buckets.node, buckets.tri),
+                            )
+            drain_writes()  # completed plates to disk
 
-        # ---- fetch: ONE round trip for the whole chunk ---------------------
+        # ---- fetch oldest chunk: ONE round trip --------------------------
+        t0, token, payloads, jobs, pendings = flights.popleft()
         with stages.stage("fetch"):
             solved = fetch_plate_group(token, payloads)
         stats["total_solve_time"] += timer() - t0
@@ -793,22 +852,11 @@ def generate_data_batched(
             if job.complete():
                 writes.append(job)
             else:
-                ready.append(job)  # retry rides the next chunk
+                ready.append(job)  # retry rides a later chunk
 
-        # Nothing left to dispatch: drain the remaining writes now.
-        if not ready:
-            while writes and written < num_plates:
-                job = writes.popleft()
-                plate_seq += 1
-                write_job(job, plate_seq)
-                written += 1
-                stats["plates"] += 1
-                if wandb_inject_function is not None:
-                    elapsed = timer() - run_start
-                    remaining = (
-                        (num_plates - written) * elapsed / max(written, 1)
-                    )
-                    wandb_inject_function(plate_seq - 1, elapsed, remaining)
+        # Nothing in flight or ready: drain writes, then refill.
+        if not ready and not flights:
+            drain_writes()
             while in_system() + written < num_plates and len(ready) < group_size:
                 ready.append(prep_job())
 

@@ -54,6 +54,17 @@ def next_bucket(n: int) -> int:
     return n
 
 
+# Datagen acceptance threshold on the true relative residual. Measured
+# against f64 SuperLU ground truth, the two-level-preconditioned f32 CG at
+# residual 2e-3 still delivers displacement fields with relative MAE
+# <= ~7e-5 (max-norm <= ~2e-3) — well under the 1/255 quantization of the
+# uint8 dataset images and under what the reference's own PNG round trip
+# preserves. A 1e-4 threshold resampled ~half of all hard-but-valid
+# conditions (a throughput disaster AND a dataset bias the reference's
+# direct LU does not have).
+DATAGEN_ACCEPT_TOL = 2e-3
+
+
 def solve_condition(mesh, condition, num_steps, pad: bool = True, **solve_kw):
     """Build + solve one condition, optionally bucket-padded; results are
     sliced back to the real node/triangle counts. Structurally singular
@@ -89,6 +100,7 @@ def solve_condition(mesh, condition, num_steps, pad: bool = True, **solve_kw):
     # the per-step expansion (linear scaling) happens on the host.
     from ..fem.problem import unpack_solve
 
+    solve_kw.setdefault("accept_tol", DATAGEN_ACCEPT_TOL)
     packed = np.asarray(problem.solve(packed=True, **solve_kw))
     result = unpack_solve(
         packed, len(problem.coords), len(problem.triangles), num_steps

@@ -28,6 +28,13 @@ from .assembly import (
     build_incidence,
     element_dof_indices,
 )
+from .coarse import (
+    build_aggregates,
+    build_coarse_matrix,
+    coarse_apply,
+    coarse_inverse,
+    n_coarse_for_bucket,
+)
 from .elasticity import element_stiffness, plane_strain_stiffness_em
 from .solver import block_diagonal, extract_diagonal, invert_blocks, pcg_solve
 
@@ -83,6 +90,7 @@ class StaticProblem:
     fixed_nodes: np.ndarray  # (N,) bool — u.all = 0
     loads: np.ndarray  # (N, 2) final-step force (already sign-flipped)
     num_steps: int = 11
+    n_real: Optional[int] = None  # real node count when bucket-padded
 
     @classmethod
     def from_condition(
@@ -208,6 +216,7 @@ class StaticProblem:
             ),
             loads=np.concatenate([self.loads, np.zeros((node_bucket - n, 2))]),
             num_steps=self.num_steps,
+            n_real=self.n_real if self.n_real is not None else n,
         )
 
     def solve(
@@ -244,6 +253,10 @@ class StaticProblem:
         if restarts is None:
             restarts = 1 if dtype == jnp.float64 else 6
         incidence = build_incidence(self.triangles, len(self.coords))
+        n_coarse = n_coarse_for_bucket(len(self.coords))
+        space = build_aggregates(self.coords, n_coarse, n_real=self.n_real)
+        agg_dev = jnp.asarray(space.agg_ids)
+        arms_dev = jnp.asarray(space.arms, dtype)
         if packed:
             return _solve_kernel_packed(
                 jnp.asarray(self.coords, dtype),
@@ -253,10 +266,13 @@ class StaticProblem:
                 incidence.slots,
                 jnp.asarray(~self.fixed_nodes, dtype),
                 jnp.asarray(self.loads, dtype),
+                agg_dev,
+                arms_dev,
                 tol=tol,
                 max_iters=max_iters,
                 accept_tol=accept_tol,
                 restarts=restarts,
+                n_coarse=n_coarse,
             )
         res = _solve_kernel(
             jnp.asarray(self.coords, dtype),
@@ -266,11 +282,14 @@ class StaticProblem:
             incidence.slots,
             jnp.asarray(~self.fixed_nodes, dtype),
             jnp.asarray(self.loads, dtype),
+            agg_dev,
+            arms_dev,
             num_steps=self.num_steps,
             tol=tol,
             max_iters=max_iters,
             accept_tol=accept_tol,
             restarts=restarts,
+            n_coarse=n_coarse,
         )
         return res
 
@@ -314,12 +333,21 @@ def _solve_core(
     max_iters,
     accept_tol,
     restarts,
+    agg_ids=None,
+    arms=None,
+    n_coarse: int = 0,
 ):
     """Element-minor / planar-dof solve core (see elasticity.py's layout
     note: every per-element array keeps the long axis minor so TPU (8,128)
     tiling stays dense — the natural (M,6,6)/(N,2,2) layouts pad ~25x,
     which both blows HBM under plate-vmapping and multiplies the CG loop's
-    memory traffic). Returns (CGResult with x (N,2), eps1 (M,3), sig1 (M,3))."""
+    memory traffic). Returns (CGResult with x (N,2), eps1 (M,3), sig1 (M,3)).
+
+    When `n_coarse > 0` (with agg_ids/arms from build_aggregates) the
+    preconditioner is two-level: block-Jacobi + a dense rigid-body-mode
+    coarse correction (see fem/coarse.py) — the difference between f32 CG
+    stalling at 1e-3 on hard plates and converging to 1e-6 in tens of
+    iterations."""
     n_nodes = coords.shape[0]
     D = plane_strain_stiffness_em(young, poisson)  # (3,3,M)
     Ke, B, _area = element_stiffness(coords, triangles, D)  # (6,6,M),(3,6,M)
@@ -333,6 +361,13 @@ def _solve_core(
         apply_element_stiffness_planar, Ke, dof_idx, incidence_slots
     )
 
+    Kc_inv = None
+    if n_coarse > 0:
+        Kc = build_coarse_matrix(
+            Ke, triangles, agg_ids, arms, free_nodes, n_coarse
+        )
+        Kc_inv = coarse_inverse(Kc)
+
     def precondition(r):  # r (2N,) planar
         z = jnp.einsum(
             "ijn,jn->in",
@@ -340,7 +375,10 @@ def _solve_core(
             r.reshape(2, n_nodes),
             precision=jax.lax.Precision.HIGHEST,
         )
-        return z.reshape(-1) * free_planar
+        z = z.reshape(-1)
+        if Kc_inv is not None:
+            z = z + coarse_apply(Kc_inv, agg_ids, arms, r, n_coarse)
+        return z * free_planar
 
     res = pcg_solve(
         op,
@@ -366,7 +404,9 @@ def _solve_core(
 
 @partial(
     jax.jit,
-    static_argnames=("num_steps", "tol", "max_iters", "accept_tol", "restarts"),
+    static_argnames=(
+        "num_steps", "tol", "max_iters", "accept_tol", "restarts", "n_coarse",
+    ),
 )
 def _solve_kernel(
     coords,
@@ -376,17 +416,21 @@ def _solve_kernel(
     incidence_slots,
     free_nodes,
     loads,
+    agg_ids=None,
+    arms=None,
     *,
     num_steps: int,
     tol: float,
     max_iters: int,
     accept_tol: float = 1e-4,
     restarts: int = 1,
+    n_coarse: int = 0,
 ) -> SolveResult:
     dtype = coords.dtype
     res, eps1, sig1 = _solve_core(
         coords, triangles, young, poisson, incidence_slots, free_nodes, loads,
         tol, max_iters, accept_tol, restarts,
+        agg_ids=agg_ids, arms=arms, n_coarse=n_coarse,
     )
     t = jnp.linspace(0.0, 1.0, num_steps).astype(dtype)
     return SolveResult(
@@ -404,6 +448,7 @@ def _solve_kernel(
     jax.jit,
     static_argnames=(
         "tol", "max_iters", "accept_tol", "restarts", "include_cell_fields",
+        "n_coarse",
     ),
 )
 def _solve_kernel_packed(
@@ -414,12 +459,15 @@ def _solve_kernel_packed(
     incidence_slots,
     free_nodes,
     loads,
+    agg_ids=None,
+    arms=None,
     *,
     tol: float,
     max_iters: int,
     accept_tol: float = 1e-4,
     restarts: int = 1,
     include_cell_fields: bool = True,
+    n_coarse: int = 0,
 ):
     """Single-step solve packed into one flat f32 vector:
     [u1 (2N), eps1 (3M), sig1 (3M), converged, failed, rnorm, iters].
@@ -430,6 +478,7 @@ def _solve_kernel_packed(
     res, eps1, sig1 = _solve_core(
         coords, triangles, young, poisson, incidence_slots, free_nodes, loads,
         tol, max_iters, accept_tol, restarts,
+        agg_ids=agg_ids, arms=arms, n_coarse=n_coarse,
     )
     f32 = jnp.float32
     parts = [res.x.reshape(-1).astype(f32)]

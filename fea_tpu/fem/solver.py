@@ -103,7 +103,7 @@ def pcg_solve(
     """
     if accept_tol is None:
         accept_tol = tol * 100.0
-    stall_limit = 300
+    stall_limit = 180
     dtype = b.dtype
     free = free_mask.astype(dtype)
     bm = b * free
