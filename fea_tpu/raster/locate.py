@@ -13,8 +13,6 @@ eliminating the per-image VTK render of the reference
 
 from typing import NamedTuple, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -74,49 +72,7 @@ class PixelMap(NamedTuple):
     frame: Frame
 
 
-def _bin_triangles(coords, triangles, frame: Frame, cell_px: int, pad_to: int = 0):
-    """Host-side uniform grid: per grid cell, the triangles overlapping it.
-    Fully vectorized (group-by over (cell, triangle) pairs)."""
-    S = frame.image_size
-    n_cells = (S + cell_px - 1) // cell_px
-    pix = frame.pixel_of_world(coords)  # (N,2) col,row
-    tri_pix = pix[triangles]  # (M,3,2)
-    lo = np.clip(
-        np.floor(tri_pix.min(axis=1) / cell_px).astype(np.int64), 0, n_cells - 1
-    )
-    hi = np.clip(
-        np.floor(tri_pix.max(axis=1) / cell_px).astype(np.int64), 0, n_cells - 1
-    )
-    span = hi - lo + 1  # (M,2)
-    M = len(triangles)
-
-    cell_ids = []
-    tri_ids = []
-    max_sx = int(span[:, 0].max()) if M else 1
-    max_sy = int(span[:, 1].max()) if M else 1
-    for dy in range(max_sy):
-        for dx in range(max_sx):
-            mask = (dx < span[:, 0]) & (dy < span[:, 1])
-            if not mask.any():
-                continue
-            t = np.nonzero(mask)[0]
-            cell_ids.append((lo[t, 1] + dy) * n_cells + (lo[t, 0] + dx))
-            tri_ids.append(t)
-    cell_ids = np.concatenate(cell_ids) if cell_ids else np.zeros(0, np.int64)
-    tri_ids = np.concatenate(tri_ids) if tri_ids else np.zeros(0, np.int64)
-
-    order = np.argsort(cell_ids, kind="stable")
-    cell_s = cell_ids[order]
-    tri_s = tri_ids[order]
-    counts = np.bincount(cell_ids, minlength=n_cells * n_cells)
-    max_per_cell = int(counts.max()) if len(cell_ids) else 1
-    width = max(max_per_cell, pad_to)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    within = np.arange(len(cell_s)) - np.repeat(starts, counts)
-
-    table = np.full((n_cells * n_cells, width), -1, dtype=np.int32)
-    table[cell_s, within] = tri_s
-    return table, n_cells
+_BARY_TOL = 1e-5  # small negative tolerance keeps boundary pixels
 
 
 def build_pixel_map(
@@ -128,89 +84,90 @@ def build_pixel_map(
     pad_candidates: int = 0,
     pad_shapes: Optional[Tuple[int, int]] = None,
 ) -> PixelMap:
-    """Locate every pixel center in the mesh. O(pixels * candidates).
+    """Locate every pixel center in the mesh by scattering triangles over
+    their pixel bounding boxes (pure NumPy, single pass).
 
-    `pad_candidates` fixes the per-cell candidate width and `pad_shapes`
-    (node_bucket, tri_bucket) pads the mesh arrays, so different plates
-    share one compiled locate kernel (the per-mesh recompile otherwise
-    costs ~1 s/plate on a single-core host). Padding is inert: the
-    candidate table only lists real triangles, ghost entries are -1."""
+    This is the scatter dual of per-pixel candidate gathering: total work
+    is sum over triangles of their bbox pixel counts (~3-4 px^2 per
+    triangle at datagen scale) instead of pixels x candidate-table-width —
+    ~20x fewer containment tests and zero per-shape XLA compiles on the
+    single-core datagen host. Barycentric coordinates are affine-invariant,
+    so tests run directly in pixel space; ties on shared edges resolve by
+    the largest minimum-barycentric score (then highest triangle index),
+    deterministically.
+
+    `cell_px`, `pad_candidates`, `pad_shapes` are accepted for backward
+    compatibility and ignored (the scatter pass needs no binning or shape
+    bucketing)."""
+    del cell_px, pad_candidates, pad_shapes
     frame = frame or make_frame(coords, image_size)
-    table, n_cells = _bin_triangles(
-        coords, triangles, frame, cell_px, pad_to=pad_candidates
-    )
-
-    world = frame.world_of_pixels().reshape(-1, 2)  # (P, 2)
     S = image_size
-    rows = np.repeat(np.arange(S), S)
-    cols = np.tile(np.arange(S), S)
-    cell_id = (rows // cell_px) * n_cells + (cols // cell_px)
-    cand = table[cell_id]  # (P, K)
+    tri = np.asarray(triangles, np.int64)
+    M = len(tri)
+    # continuous pixel coords of triangle vertices; pixel (r, c)'s center
+    # sits at (c + 0.5, r + 0.5)
+    vp = frame.pixel_of_world(np.asarray(coords, np.float64))[tri]  # (M,3,2)
+    col_lo = np.clip(np.ceil(vp[..., 0].min(1) - 0.5 - 1e-4), 0, S - 1).astype(np.int64)
+    col_hi = np.clip(np.floor(vp[..., 0].max(1) - 0.5 + 1e-4), 0, S - 1).astype(np.int64)
+    row_lo = np.clip(np.ceil(vp[..., 1].min(1) - 0.5 - 1e-4), 0, S - 1).astype(np.int64)
+    row_hi = np.clip(np.floor(vp[..., 1].max(1) - 0.5 + 1e-4), 0, S - 1).astype(np.int64)
+    span_c = col_hi - col_lo + 1
+    span_r = row_hi - row_lo + 1
 
-    coords_in = np.asarray(coords, np.float32)
-    tris_in = np.asarray(triangles, np.int32)
-    if pad_shapes is not None:
-        nb = max(pad_shapes[0], len(coords_in))
-        mb = max(pad_shapes[1], len(tris_in))
-        coords_in = np.concatenate(
-            [coords_in, np.zeros((nb - len(coords_in), 2), np.float32)]
-        )
-        tris_in = np.concatenate(
-            [tris_in, np.zeros((mb - len(tris_in), 3), np.int32)]
-        )
+    p0 = vp[:, 0]
+    e1 = vp[:, 1] - p0  # (M,2)
+    e2 = vp[:, 2] - p0
+    d = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    inv_d = np.where(np.abs(d) > 1e-30, 1.0 / np.where(d != 0, d, 1.0), 0.0)
 
-    from ..utils.device import raster_device
+    # winner per pixel: packed (score, tri) int64 key, max-reduced
+    key_buf = np.full(S * S, -1, dtype=np.int64)
+    max_sc = int(span_c.max()) if M else 0
+    max_sr = int(span_r.max()) if M else 0
+    for dr in range(max_sr):
+        r_mask = dr < span_r
+        for dc in range(max_sc):
+            mask = r_mask & (dc < span_c)
+            if not mask.any():
+                continue
+            t = np.nonzero(mask)[0]
+            c = col_lo[t] + dc
+            r = row_lo[t] + dr
+            px = c + 0.5 - p0[t, 0]
+            py = r + 0.5 - p0[t, 1]
+            w1 = (px * e2[t, 1] - py * e2[t, 0]) * inv_d[t]
+            w2 = (e1[t, 0] * py - e1[t, 1] * px) * inv_d[t]
+            w0 = 1.0 - w1 - w2
+            score = np.minimum(np.minimum(w0, w1), w2)
+            ok = score >= -_BARY_TOL
+            if not ok.any():
+                continue
+            t = t[ok]
+            si = np.round((score[ok] + 1.0) * 1e7).astype(np.int64)
+            key = (si << 24) | t
+            np.maximum.at(key_buf, r[ok] * S + c[ok], key)
 
-    with jax.default_device(raster_device()):
-        tri_idx, bary = _locate_kernel(
-            jnp.asarray(coords_in),
-            jnp.asarray(tris_in),
-            jnp.asarray(world, jnp.float32),
-            jnp.asarray(cand, jnp.int32),
-        )
-    tri_idx = np.asarray(tri_idx).reshape(S, S)
-    bary = np.asarray(bary).reshape(S, S, 3)
-    return PixelMap(
-        tri_idx=tri_idx, bary=bary, inside=tri_idx >= 0, frame=frame
+    tri_idx = np.where(key_buf >= 0, key_buf & ((1 << 24) - 1), -1).astype(
+        np.int32
     )
+    inside = tri_idx >= 0
 
-
-@jax.jit
-def _locate_kernel(coords, triangles, pts, cand):
-    """Per point, test its candidate triangles; return (tri_idx, bary).
-
-    tri_idx = -1 when no candidate contains the point. Containment uses a
-    small negative tolerance so pixels on shared edges land in exactly one
-    triangle and boundary pixels are kept."""
-    tri = jnp.where(cand[..., None] >= 0, triangles[cand], 0)  # (P,K,3)
-    p0 = coords[tri[..., 0]]  # (P,K,2)
-    p1 = coords[tri[..., 1]]
-    p2 = coords[tri[..., 2]]
-    p = pts[:, None, :]
-
-    d = (p1[..., 0] - p0[..., 0]) * (p2[..., 1] - p0[..., 1]) - (
-        p1[..., 1] - p0[..., 1]
-    ) * (p2[..., 0] - p0[..., 0])
-    inv = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, 0.0)
-    w1 = (
-        (p[..., 0] - p0[..., 0]) * (p2[..., 1] - p0[..., 1])
-        - (p[..., 1] - p0[..., 1]) * (p2[..., 0] - p0[..., 0])
-    ) * inv
-    w2 = (
-        (p1[..., 0] - p0[..., 0]) * (p[..., 1] - p0[..., 1])
-        - (p1[..., 1] - p0[..., 1]) * (p[..., 0] - p0[..., 0])
-    ) * inv
+    # one vectorized pass: barycentrics of each pixel in its winning triangle
+    safe = np.where(inside, tri_idx, 0)
+    rows, cols = np.divmod(np.arange(S * S), S)
+    px = cols + 0.5 - p0[safe, 0]
+    py = rows + 0.5 - p0[safe, 1]
+    w1 = (px * e2[safe, 1] - py * e2[safe, 0]) * inv_d[safe]
+    w2 = (e1[safe, 0] * py - e1[safe, 1] * px) * inv_d[safe]
     w0 = 1.0 - w1 - w2
-    tol = -1e-5
-    inside = (w0 >= tol) & (w1 >= tol) & (w2 >= tol) & (cand >= 0)
+    bary = np.stack([w0, w1, w2], axis=-1)
+    bary = np.clip(bary, 0.0, 1.0)
+    bary = bary / np.maximum(bary.sum(-1, keepdims=True), 1e-12)
+    bary = np.where(inside[:, None], bary, 0.0).astype(np.float32)
 
-    score = jnp.where(inside, jnp.minimum(jnp.minimum(w0, w1), w2), -jnp.inf)
-    best = jnp.argmax(score, axis=1)  # (P,)
-    has = jnp.any(inside, axis=1)
-    sel = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
-    tri_idx = jnp.where(has, sel, -1)
-    bsel = lambda w: jnp.take_along_axis(w, best[:, None], axis=1)[:, 0]
-    bary = jnp.stack([bsel(w0), bsel(w1), bsel(w2)], axis=-1)
-    bary = jnp.clip(bary, 0.0, 1.0)
-    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
-    return tri_idx, bary
+    return PixelMap(
+        tri_idx=tri_idx.reshape(S, S),
+        bary=bary.reshape(S, S, 3),
+        inside=inside.reshape(S, S),
+        frame=frame,
+    )
