@@ -120,6 +120,7 @@ def run_application(
     image_size: int = 512,
     checkpoint: Optional[str] = None,
     decode_scale: float = 0.05,
+    use_ema: bool = False,
 ) -> Dict:
     spec = APPLICATIONS[name]
     verify_directory(output_dir)
@@ -204,14 +205,16 @@ def run_application(
     # ---- optional surrogate prediction -----------------------------------
     if checkpoint is not None:
         pred_metrics = predict_with_surrogate(
-            spec, mesh, problem, output_dir, image_size, checkpoint, decode_scale
+            spec, mesh, problem, output_dir, image_size, checkpoint,
+            decode_scale, use_ema=use_ema,
         )
         out.update(pred_metrics)
     return out
 
 
 def predict_with_surrogate(
-    spec, mesh, problem, output_dir, image_size, checkpoint, decode_scale
+    spec, mesh, problem, output_dir, image_size, checkpoint, decode_scale,
+    use_ema: bool = False,
 ) -> Dict:
     """Run a trained FDN-UNet on the app's rendered inputs
     (generateapplication.ipynb cells 8-18) and score it."""
@@ -298,7 +301,16 @@ def predict_with_surrogate(
 
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(Path(checkpoint).absolute())
+    # EMA weights option: the reference notebooks load checkpoints into an
+    # ema_pytorch.EMA wrapper (generateapplication.ipynb cell 16)
     params = restored["params"]
+    if use_ema:
+        ema = restored.get("ema_params")
+        assert ema is not None, (
+            "use_ema requested but the checkpoint holds no EMA weights "
+            "(train with --use_ema_model)"
+        )
+        params = ema
 
     conditions = jnp.concatenate(
         [jnp.asarray(batch["forces"]), jnp.asarray(batch["constraints"])],

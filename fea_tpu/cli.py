@@ -124,8 +124,12 @@ def _add_train(sub):
     p.add_argument("--disable_auxiliary", action="store_true", default=None)
     p.add_argument("--only_auxiliary", action="store_true")
     p.add_argument("--use_ema_model", action="store_true")
+    p.add_argument("--no_progress_bar", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default=None)
+    p.add_argument("--wandb_restrict_cache", type=int, default=10,
+                   help="GB cap passed to `wandb artifact cache cleanup` "
+                        "before each checkpoint upload")
     return p
 
 
@@ -153,6 +157,7 @@ def _cmd_train(args):
         ),
         only_auxiliary=args.only_auxiliary,
         use_ema=args.use_ema_model,
+        progress_bar=not args.no_progress_bar,
     )
     trainer = Trainer(config)
     if args.checkpoint is not None:
@@ -174,7 +179,30 @@ def _cmd_train(args):
                 log["sample_loss"] = sample_loss
             if image_filenames:
                 log["samples"] = [wandb.Image(f) for f in image_filenames]
+            if ranges is not None:
+                log["ranges"] = ranges
             wandb.log(log)
+            # checkpoint-zip artifact upload + cache cleanup (reference
+            # train_model.py:108-114; the Trainer already writes the zips)
+            if milestone is not None:
+                if args.wandb_restrict_cache is not None:
+                    os.system(
+                        "wandb artifact cache cleanup "
+                        f"{args.wandb_restrict_cache}GB"
+                    )
+                artifact = wandb.Artifact(
+                    name=f"checkpoint-{wandb.run.id}", type="model"
+                )
+                if milestone == "latest":
+                    prev = os.path.join(
+                        args.results_dir, "model-latest-prev.zip"
+                    )
+                    if os.path.exists(prev):
+                        artifact.add_file(prev)
+                artifact.add_file(
+                    os.path.join(args.results_dir, f"model-{milestone}.zip")
+                )
+                wandb.log_artifact(artifact)
 
     trainer.train(wandb_inject_function=wandb_fn)
 
@@ -231,6 +259,10 @@ def _add_sample(sub):
     p.add_argument("--milestone", type=str, required=True)
     p.add_argument("--num_steps_per_condition", type=int, default=6)
     p.add_argument("--num_sample_conditions_per_plate", type=int, default=1)
+    p.add_argument("--use_ema", action="store_true",
+                   help="Sample with the EMA weights from the checkpoint "
+                        "(reference generateapplication.ipynb cell 16 loads "
+                        "checkpoints into an ema_pytorch.EMA wrapper)")
     return p
 
 
@@ -248,10 +280,13 @@ def _cmd_sample(args):
         results_folder=args.results_dir,
         skip_dataset_size_check=True,
         inference_only=True,
+        use_ema=args.use_ema,
     )
     trainer = Trainer(config)
     trainer.load_checkpoint(args.milestone)
-    trainer.sample_and_save(milestone=args.milestone, progress_bar=True)
+    trainer.sample_and_save(
+        milestone=args.milestone, progress_bar=True, use_ema=args.use_ema
+    )
 
 
 def _add_accuracy(sub):
@@ -296,6 +331,8 @@ def _add_app(sub):
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Trained checkpoint for surrogate prediction + metrics")
+    p.add_argument("--use_ema", action="store_true",
+                   help="Predict with the checkpoint's EMA weights")
     return p
 
 
@@ -307,6 +344,7 @@ def _cmd_app(args):
         output_dir=args.output_dir,
         image_size=args.image_size,
         checkpoint=args.checkpoint,
+        use_ema=args.use_ema,
     )
     print(out)
 

@@ -180,10 +180,15 @@ class FEADataset:
             material = np.where(layer != 0, layer, material)
         sample["materials"] = material.astype(np.float32)
 
-        # ranges (diffusion.py:359-379)
-        all_ranges = _parse_kv_file(cdir / "ranges.txt")
-        line = (step - 1) * 2
-        ranges = list(all_ranges[line][1]) + list(all_ranges[line + 1][1])
+        # ranges (diffusion.py:359-379). Looked up BY NAME, not by the
+        # reference's positional stride of 2 lines per step
+        # (diffusion.py:361-363) — that stride silently reads the wrong
+        # lines for datasets generated with --save_strain/--save_stress,
+        # which interleave all saved fields per step in ranges.txt.
+        all_ranges = dict(_parse_kv_file(cdir / "ranges.txt"))
+        ranges = list(all_ranges[f"displacement_x_{step}"]) + list(
+            all_ranges[f"displacement_y_{step}"]
+        )
         r = np.asarray(ranges, dtype=np.float32)
         sample["displacement_range"] = r
         sample["log_displacement_range"] = np.log1p(np.abs(r)).astype(np.float32)

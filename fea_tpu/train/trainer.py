@@ -79,6 +79,7 @@ class TrainerConfig:
     num_channels: int = 2  # displacement / materials channels
     num_auxiliary_condition_channels: int = 3  # forces (2) + constraints (1)
     seed: int = 0
+    progress_bar: bool = True
     n_devices: Optional[int] = None
     skip_dataset_size_check: bool = False
     inference_only: bool = False  # sampling CLI: no effective-batch floor
@@ -313,11 +314,35 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_eval_step(self):
+        cfg = self.config
+
         def eval_step(state: TrainState, batch, use_ema: bool):
             params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+            # Single forward pass; loss computed from the same predictions
+            # (the reference recomputes sample_model inside its loss path —
+            # diffusion.py:830-857 — and an earlier draft here did too).
             image_pred, range_pred = self._apply_model(params, batch)
-            loss = self._loss(params, batch)
-            return image_pred, range_pred, loss
+
+            def head_loss(pred, target):
+                d = pred - target
+                a = jnp.abs(d) if cfg.loss_type == "l1" else d**2
+                return a.reshape(a.shape[0], -1).mean(axis=1)
+
+            # Per-sample losses so the caller can mask padding out of the
+            # mean (all samples share one shape, so the mean of per-sample
+            # means equals the reference's global mean).
+            loss_vec = jnp.zeros(batch["geometry"].shape[0], jnp.float32)
+            if image_pred is not None:
+                loss_vec = loss_vec + head_loss(image_pred, batch["displacement"])
+            if range_pred is not None:
+                sign_pred, log_pred = range_pred
+                loss_vec = loss_vec + head_loss(
+                    sign_pred, batch["sign_displacement_range"]
+                )
+                loss_vec = loss_vec + head_loss(
+                    log_pred, batch["log_displacement_range"]
+                )
+            return image_pred, range_pred, loss_vec
 
         return jax.jit(eval_step, static_argnums=(2,))
 
@@ -354,6 +379,13 @@ class Trainer:
         # python-side step counter avoids blocking on the device counter.
         per_step = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
         step = int(self.state.step)
+        pbar = None
+        if cfg.progress_bar:
+            from tqdm import tqdm
+
+            # reference: tqdm over the step loop on the main process
+            # (diffusion.py:1000-1007)
+            pbar = tqdm(initial=step, total=cfg.num_train_steps, desc="training")
         next_batch = self._fetch_batch(step * per_step)
         while step < cfg.num_train_steps:
             batch = next_batch
@@ -362,6 +394,9 @@ class Trainer:
                 next_batch = self._fetch_batch((step + 1) * per_step)
             loss = float(loss)  # blocks on the device step
             logging.info(f"step: {step}, loss: {loss:.4f}")
+            if pbar is not None:
+                pbar.set_description(f"loss: {loss:.4f}")
+                pbar.update(1)
 
             new_step = step + 1
             total_sample_loss = None
@@ -392,6 +427,8 @@ class Trainer:
                 )
             step = new_step
 
+        if pbar is not None:
+            pbar.close()
         self.save_checkpoint("final")
         print("Training done!")
 
@@ -423,20 +460,26 @@ class Trainer:
 
         image_filenames: List[str] = []
         all_ranges: List[np.ndarray] = []
-        total_loss = 0.0
-        num_batches = 0
+        loss_sum = 0.0
+        loss_count = 0
 
-        for start in range(0, n, bs):
+        starts = range(0, n, bs)
+        if progress_bar:
+            from tqdm import tqdm
+
+            starts = tqdm(starts, desc="sampling", total=(n + bs - 1) // bs)
+        for start in starts:
             idx = list(range(start, min(start + bs, n)))
             # static batch shape: pad by repeating the last sample
             pad = bs - len(idx)
             samples = [self.sample_dataset[i] for i in idx + [idx[-1]] * pad]
             batch = shard_batch(self.mesh, collate(samples))
-            image_pred, range_pred, loss = self._eval_step(
+            image_pred, range_pred, loss_vec = self._eval_step(
                 self.state, batch, use_ema
             )
-            total_loss += float(loss)
-            num_batches += 1
+            # mask the padded (repeated) tail out of the reported loss
+            loss_sum += float(np.asarray(loss_vec)[: len(idx)].sum())
+            loss_count += len(idx)
             if not save:
                 continue
 
@@ -471,8 +514,7 @@ class Trainer:
                             str(pathname / f"sample_{axis}_{step}.txt"), rng_val
                         )
 
-        if num_batches:
-            total_loss /= num_batches
+        total_loss = loss_sum / max(loss_count, 1)
         return (
             image_filenames if (image_filenames and save) else None,
             all_ranges if all_ranges else None,
