@@ -1,7 +1,11 @@
 """Benchmark: datagen throughput on the production config, plus per-solve
 latency and cantilever displacement-parity — the BASELINE.json metrics.
 
-Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+Scores the BATCHED path (generate_data_batched — chunked plate groups,
+double-buffered dispatch, deferred retries), which is the architecture's
+real throughput path; the sequential generate_data loop exists for
+parity/debug. Prints exactly ONE JSON line to stdout; the per-stage
+timing breakdown and diagnostics go to stderr.
 
 Baseline: the reference prints per-condition TIME only (no recorded
 numbers); its sfepy/SuperLU datagen runs ~10-60 s per plate on CPU at the
@@ -17,8 +21,8 @@ import time
 
 REFERENCE_PLATES_PER_HOUR = 120.0  # 30 s/plate sfepy-CPU estimate (see above)
 
-WARMUP_PLATES = 2
-TIMED_PLATES = 6
+WARMUP_PLATES = 4
+TIMED_PLATES = 12
 
 
 def log(msg):
@@ -34,7 +38,8 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
-    from fea_tpu.datagen import generate_data
+    from fea_tpu.datagen.batched import generate_data_batched
+    from fea_tpu.utils.profiling import StageTimer
 
     common = dict(
         image_size=512,
@@ -49,7 +54,7 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         log("warmup (populates compile cache)...")
         t0 = time.time()
-        generate_data(
+        generate_data_batched(
             data_dir=os.path.join(tmp, "warm"),
             num_plates=WARMUP_PLATES,
             seed=7,
@@ -57,26 +62,34 @@ def main():
         )
         log(f"warmup {time.time() - t0:.1f}s")
 
-        log(f"timing {TIMED_PLATES} plates...")
+        log(f"timing {TIMED_PLATES} plates (batched path)...")
+        stages = StageTimer()
         t0 = time.time()
-        stats = generate_data(
+        stats = generate_data_batched(
             data_dir=os.path.join(tmp, "timed"),
             num_plates=TIMED_PLATES,
             seed=1234,
+            stage_timer=stages,
             **common,
         )
         wall = time.time() - t0
 
     plates_per_hour = TIMED_PLATES / wall * 3600.0
     ok_solves = stats["solves"] - stats["failures"]
-    # Wall time around dispatch->fetch per successful condition. NOTE: the
-    # pipelined loop overlaps the next plate's host prep inside this window,
-    # so it is an upper bound on device time (true device solve time is
-    # ~10-20 ms/condition once compiled).
+    # Wall time from each chunk's assembly to its fetch completing, per
+    # successful condition. Chunks overlap under double-buffered dispatch,
+    # so this is an upper bound on device time per condition.
     solve_ms = stats["total_solve_time"] / max(ok_solves, 1) * 1000.0
 
-    # Cantilever golden parity on this hardware (f32 solve vs the
-    # reference's checked-in sfepy solution).
+    log("--- per-stage breakdown (timed run) ---")
+    log(stages.summary())
+    log(
+        f"solves={stats['solves']} failures={stats['failures']} "
+        f"({stats['failures'] / max(stats['solves'], 1):.1%} resample rate)"
+    )
+
+    # Cantilever golden parity on this hardware (f32 solve + refinement vs
+    # the reference's checked-in sfepy solution).
     parity_mae = None
     try:
         import numpy as np
@@ -127,12 +140,15 @@ def main():
     result = {
         "metric": "datagen_plates_per_hour",
         "value": round(plates_per_hour, 2),
-        "unit": "plates/hour (512px, 4 conds x 6 steps, mesh 1e-2)",
+        "unit": "plates/hour (512px, 4 conds x 6 steps, mesh 1e-2, batched)",
         "vs_baseline": round(plates_per_hour / REFERENCE_PLATES_PER_HOUR, 2),
         "solve_wall_ms_per_condition_upper_bound": round(solve_ms, 2),
         "relative_parity_mae_cantilever": parity_mae,
         "solves": stats["solves"],
-        "singular_resamples": stats["failures"],
+        "failed_resampled_solves": stats["failures"],
+        "stage_seconds": {
+            k: round(v, 2) for k, v in sorted(stages.as_dict().items())
+        },
         "baseline_note": "reference sfepy-CPU est. 120 plates/hour (30s/plate)",
     }
     print(json.dumps(result))

@@ -116,3 +116,65 @@ def test_read_reference_cantilever_fixture():
     assert data["u"].shape == (2464, 3)
     # sanity: tip deflection is downward
     assert data["u"][:, 1].min() < -1e-4
+
+
+def test_mesher_soak_production_scale():
+    """Soak the native CDT mesher at the production mesh size (1e-2,
+    generate_data_GT.sh:5) over many seeded random plates: every produced
+    mesh must be conforming (boundary-edge midpoints recovered), CCW,
+    degenerate-free, and bounded in size; the geometry->mesh failure rate
+    must stay low enough that datagen's redraw loop is cheap.
+
+    Kept to 120 plates so the suite stays fast; bump SOAK_PLATES locally
+    for a deeper soak."""
+    SOAK_PLATES = 120
+    sampler = GeometrySampler(random_seed=20260816)
+    failures = 0
+    meshed = 0
+    area_rel_err_max = 0.0
+    while meshed < SOAK_PLATES:
+        polygon = sampler.generate()
+        try:
+            mesh = triangulate_polygon(polygon, mesh_size=1e-2)
+        except Exception:
+            failures += 1
+            assert failures < SOAK_PLATES, "mesh failure rate ~50%+"
+            continue
+        meshed += 1
+        areas = tri_areas(mesh.coords, mesh.triangles)
+        assert (areas > 1e-12).all(), "degenerate/CW triangle"
+        # node indices in range, no isolated nodes
+        assert mesh.triangles.min() >= 0
+        assert mesh.triangles.max() < mesh.num_nodes
+        used = np.zeros(mesh.num_nodes, bool)
+        used[mesh.triangles.reshape(-1)] = True
+        assert used.all(), "isolated node"
+        # mesh area == polygon area (conforming cover, no overlap/holes)
+        def ring_area(ring):
+            nxt = np.roll(ring, -1, 0)
+            return abs(
+                0.5
+                * np.sum(ring[:, 0] * nxt[:, 1] - ring[:, 1] * nxt[:, 0])
+            )
+
+        poly_area = ring_area(polygon.exterior)
+        for hole in polygon.holes:
+            poly_area -= ring_area(hole)
+        rel = abs(areas.sum() - poly_area) / poly_area
+        area_rel_err_max = max(area_rel_err_max, rel)
+        assert rel < 1e-6, f"area mismatch {rel:.2e}"
+        # bounded size: production plates stay within the largest bucket
+        assert mesh.num_nodes < 131072
+        assert mesh.num_triangles < 131072
+        # manifold interior: every edge shared by at most 2 triangles
+        e = np.concatenate(
+            [mesh.triangles[:, [0, 1]], mesh.triangles[:, [1, 2]],
+             mesh.triangles[:, [2, 0]]]
+        )
+        e.sort(axis=1)
+        _, counts = np.unique(e, axis=0, return_counts=True)
+        assert counts.max() <= 2, "non-manifold edge"
+    # recorded failure rate: geometry redraws are part of the datagen
+    # loop's budget; keep them rare
+    rate = failures / (failures + meshed)
+    assert rate < 0.2, f"mesh failure rate {rate:.1%}"
