@@ -137,6 +137,47 @@ def main():
     except Exception as e:  # parity is auxiliary; never sink the bench
         log(f"parity check failed: {e}")
 
+    # Training-step throughput at the flagship config (256px, batch 16) —
+    # the second half of the system (reference train_model.py:41-59). A
+    # tiny in-memory dataset feeds the real jitted train step; timing
+    # excludes compile (first step) and blocks on the final state.
+    train_steps_per_s = None
+    try:
+        import jax
+
+        from fea_tpu.data.arrays import InMemoryFEADataset
+        from fea_tpu.train.trainer import Trainer, TrainerConfig
+
+        log("train-step bench (256px, batch 16)...")
+        ds = InMemoryFEADataset.generate(
+            num_plates=2, conditions_per_plate=4, num_steps=6,
+            image_size=256, mesh_size=2e-2, seed=11,
+        )
+        cfg = TrainerConfig(
+            dataset_image_size=256,
+            train_batch_size=16,
+            num_train_steps=1,
+            num_steps_per_condition=6,
+            num_steps_per_sample_condition=6,
+            skip_dataset_size_check=True,
+            results_folder=os.path.join(tempfile.gettempdir(), "bench_train"),
+            progress_bar=False,
+        )
+        trainer = Trainer(cfg, dataset=ds, sample_dataset=ds)
+        batch = trainer._fetch_batch(0)
+        state = trainer.state
+        state, _ = trainer._train_step(state, batch)  # compile + warm
+        jax.block_until_ready(state.params)
+        n_timed = 10
+        t0 = time.time()
+        for _ in range(n_timed):
+            state, _ = trainer._train_step(state, batch)
+        jax.block_until_ready(state.params)
+        train_steps_per_s = n_timed / (time.time() - t0)
+        log(f"train steps/s: {train_steps_per_s:.3f}")
+    except Exception as e:  # auxiliary metric; never sink the bench
+        log(f"train-step bench failed: {e}")
+
     result = {
         "metric": "datagen_plates_per_hour",
         "value": round(plates_per_hour, 2),
@@ -146,6 +187,11 @@ def main():
         "relative_parity_mae_cantilever": parity_mae,
         "solves": stats["solves"],
         "failed_resampled_solves": stats["failures"],
+        "singular_resamples": stats.get("singular_resamples"),
+        "cg_failures": stats.get("cg_failures"),
+        "train_steps_per_s_256px_b16": (
+            round(train_steps_per_s, 3) if train_steps_per_s else None
+        ),
         "stage_seconds": {
             k: round(v, 2) for k, v in sorted(stages.as_dict().items())
         },

@@ -591,7 +591,19 @@ def generate_data_batched(
         group_size = max(batch_size, n_devices)
         group_size += (-group_size) % n_devices
 
-    stats = {"plates": 0, "solves": 0, "failures": 0, "total_solve_time": 0.0}
+    stats = {
+        "plates": 0,
+        "solves": 0,
+        "failures": 0,  # singular_resamples + cg_failures
+        "singular_resamples": 0,
+        "cg_failures": 0,
+        # (rnorm, iterations) of every failed CG lane — distinguishes
+        # "stagnated just above accept_tol" (preconditioner/tolerance
+        # problem) from "diverged/NaN" (genuinely near-singular draw).
+        "failed_lanes": [],
+        "converged_iters": [],
+        "total_solve_time": 0.0,
+    }
     run_start = timer()
 
     def fresh_pair(mesh, pool):
@@ -613,6 +625,7 @@ def generate_data_batched(
                 return condition, problem
             stats["solves"] += 1
             stats["failures"] += 1
+            stats["singular_resamples"] += 1
             budget -= 1
             if budget <= 0:
                 return None
@@ -650,6 +663,7 @@ def generate_data_batched(
                     if problem.structurally_singular():
                         stats["solves"] += 1
                         stats["failures"] += 1
+                        stats["singular_resamples"] += 1
                         pair = fresh_pair(mesh, pool)
                         if pair is None:
                             ok = False
@@ -764,6 +778,14 @@ def generate_data_batched(
             token = dispatch_plate_group(
                 payloads, sharding=sharding, pad_group_to=group_size
             )
+            # Stage the D2H transfer as soon as the solve finishes (it
+            # queues behind the compute), so the later blocking
+            # np.asarray finds the bytes already on host instead of
+            # paying compute + transfer + tunnel RTT serially.
+            try:
+                token.copy_to_host_async()
+            except AttributeError:
+                pass  # older jax.Array without the method
         stats["solves"] += sum(len(i) for i in pendings)
         flights.append((t0, token, payloads, jobs, pendings))
 
@@ -832,8 +854,13 @@ def generate_data_batched(
             for slot, result in zip(idx, results):
                 if result.success:
                     job.results[slot] = result
+                    stats["converged_iters"].append(int(result.iterations))
                 else:
                     stats["failures"] += 1
+                    stats["cg_failures"] += 1
+                    stats["failed_lanes"].append(
+                        (float(result.residual_norm), int(result.iterations))
+                    )
                     job.retries += 1
                     with stages.stage("conditions"):
                         pair = (
