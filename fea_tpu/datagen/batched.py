@@ -118,6 +118,7 @@ def _solve_multi_plate_kernel(
     poisson_pc,
     free_pc,  # (P, C, Nb)
     loads_pc,  # (P, C, Nb, 2)
+    x0_pc,  # (P, C, Nb, 2) warm start (zeros = cold)
     *,
     tol: float,
     max_iters: int,
@@ -129,13 +130,18 @@ def _solve_multi_plate_kernel(
     """Two-level vmap: plates (distinct meshes, same bucket) x conditions.
     One dispatch + one fetch for a whole group of plates — the multi-chip
     scale-out surface (shard the plate axis over a 'dp' mesh and XLA runs
-    each device's plates independently)."""
+    each device's plates independently).
 
-    def single(coords, triangles, slots, agg_ids, arms, young, poisson, free, loads):
+    `x0_pc` warm-starts each lane's PCG: unconverged lanes from a previous
+    chunk continue from their partial solution instead of burning the whole
+    group's lockstep budget in one dispatch (each re-dispatch recomputes
+    the true residual, doubling as iterative refinement)."""
+
+    def single(coords, triangles, slots, agg_ids, arms, young, poisson, free, loads, x0):
         res, eps1, sig1 = _solve_core(
             coords, triangles, young, poisson, slots, free, loads,
             tol, max_iters, accept_tol, restarts,
-            agg_ids=agg_ids, arms=arms, n_coarse=n_coarse,
+            agg_ids=agg_ids, arms=arms, n_coarse=n_coarse, x0=x0,
         )
         f32 = jnp.float32
         parts = [res.x.reshape(-1).astype(f32)]
@@ -156,12 +162,12 @@ def _solve_multi_plate_kernel(
         return jnp.concatenate(parts)
 
     inner = jax.vmap(
-        single, in_axes=(None, None, None, None, None, 0, 0, 0, 0)
+        single, in_axes=(None, None, None, None, None, 0, 0, 0, 0, 0)
     )
-    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    outer = jax.vmap(inner, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
     return outer(
         coords_p, triangles_p, slots_p, agg_p, arms_p,
-        young_pc, poisson_pc, free_pc, loads_pc,
+        young_pc, poisson_pc, free_pc, loads_pc, x0_pc,
     )
 
 
@@ -349,17 +355,24 @@ class PlateSolver:
 def dispatch_plate_group(
     payloads,
     tol=None,
-    max_iters: int = 6000,
+    max_iters: Optional[int] = None,
     sharding=None,
     pad_group_to: int = 0,
+    x0s=None,
 ):
     """Async half of `solve_plate_group`: stack + upload a group of
     same-bucket plates, dispatch the two-level vmapped kernel, and return
     the device token immediately (the host is free to prep the next chunk
-    while the solves run)."""
+    while the solves run).
+
+    `x0s`: optional list parallel to `payloads`; each entry is a list
+    parallel to that payload's problems of per-condition warm starts
+    ((N, 2) arrays in real-node coordinates) or None for a cold start."""
     n_real = len(payloads)
     if pad_group_to > n_real:
         payloads = payloads + [payloads[-1]] * (pad_group_to - n_real)
+        if x0s is not None:
+            x0s = list(x0s) + [x0s[-1]] * (pad_group_to - n_real)
     solver0 = payloads[0][0]
     for s, _ in payloads:
         assert s.shape_key == solver0.shape_key
@@ -370,13 +383,19 @@ def dispatch_plate_group(
     agg_p = jnp.stack([s.agg_dev for s, _ in payloads])
     arms_p = jnp.stack([s.arms_dev for s, _ in payloads])
 
-    young, poisson, free, loads = [], [], [], []
-    for s, problems in payloads:
+    young, poisson, free, loads, x0 = [], [], [], [], []
+    for pi, (s, problems) in enumerate(payloads):
         arrays = [s._pad_condition_arrays(p) for p in problems]
         young.append(np.stack([a[0] for a in arrays]))
         poisson.append(np.stack([a[1] for a in arrays]))
         free.append(np.stack([a[2] for a in arrays]))
         loads.append(np.stack([a[3] for a in arrays]))
+        x0_c = np.zeros((len(problems), s.node_bucket, 2), np.float32)
+        if x0s is not None and x0s[pi] is not None:
+            for ci, w in enumerate(x0s[pi]):
+                if w is not None:
+                    x0_c[ci, : s.n] = w
+        x0.append(x0_c)
     dtype = solver0.dtype
     args = [
         coords_p,
@@ -388,6 +407,7 @@ def dispatch_plate_group(
         jnp.asarray(np.stack(poisson), dtype),
         jnp.asarray(np.stack(free), dtype),
         jnp.asarray(np.stack(loads), dtype),
+        jnp.asarray(np.stack(x0), dtype),
     ]
     if sharding is not None:
         args = [jax.device_put(a, sharding) for a in args]
@@ -395,7 +415,7 @@ def dispatch_plate_group(
     return _solve_multi_plate_kernel(
         *args,
         tol=solver0.tol if tol is None else tol,
-        max_iters=max_iters,
+        max_iters=solver0.max_iters if max_iters is None else max_iters,
         accept_tol=solver0.accept_tol,
         restarts=solver0.restarts,
         include_cell_fields=solver0.include_cell_fields,
@@ -428,9 +448,10 @@ def fetch_plate_group(token, payloads):
 def solve_plate_group(
     payloads,
     tol=None,
-    max_iters: int = 6000,
+    max_iters: Optional[int] = None,
     sharding=None,
     pad_group_to: int = 0,
+    x0s=None,
 ):
     """Solve all conditions of a group of same-bucket plates in ONE
     dispatch + ONE fetch.
@@ -447,6 +468,7 @@ def solve_plate_group(
         max_iters=max_iters,
         sharding=sharding,
         pad_group_to=pad_group_to,
+        x0s=x0s,
     )
     return fetch_plate_group(token, payloads)
 
@@ -473,11 +495,38 @@ class RunningBuckets:
             self.degree = max(self.degree, int(s.slots_dev.shape[1]))
 
 
+# --- scheduler tuning (generate_data_batched) -------------------------------
+# Per-dispatch PCG budget. The group kernel is LOCKSTEP: every lane pays
+# for the slowest lane, so an unbounded chunk costs
+# n_lanes x max_lane_iters while lane iterations are long-tailed (median
+# ~100, p90 ~400, max 1500+) — ~3x the useful work. A small fixed budget
+# makes every chunk cost n_lanes x K; lanes that need more CONTINUE in a
+# later chunk warm-started from their partial x (each re-dispatch
+# recomputes the true residual, acting as iterative refinement), so
+# total device time approaches the sum of per-lane iterations (rounded
+# up to K). The extra dispatches are nearly free: the warm per-fetch RTT
+# is ~30 ms (measured; intermittent multi-minute tunnel hangs are a
+# separate phenomenon that hits any schedule equally). Continuation also
+# keeps hard-but-valid conditions the reference's direct solver would
+# have solved (fea_analysis.py:371-375) instead of resampling them.
+ITERS_PER_DISPATCH = 300
+RESTARTS_PER_DISPATCH = 1
+MAX_CONTINUATIONS = 20
+# lanes whose relative residual exceeds this are diverging, not slow —
+# resample immediately instead of continuing
+CONTINUE_RNORM_LIMIT = 1.0
+# a continuing lane must beat its previous dispatch's residual by this
+# factor, else it has hit its f32 floor and is resampled (host-side
+# cross-dispatch stagnation detection)
+CONTINUE_PROGRESS_FACTOR = 0.7
+
+
 class _PlateJob:
     """One plate moving through the deferred-retry scheduler."""
 
     __slots__ = (
-        "mesh", "solver", "pixel_map", "pairs", "results", "retries", "pool"
+        "mesh", "solver", "pixel_map", "pairs", "results", "retries", "pool",
+        "warm", "cont", "last_rnorm",
     )
 
     def __init__(self, mesh, pairs, pool):
@@ -488,6 +537,9 @@ class _PlateJob:
         self.results = [None] * len(pairs)
         self.retries = 0
         self.pool = pool  # per-plate clustering cache for cheap resamples
+        self.warm = [None] * len(pairs)  # per-slot PCG warm start (N,2)
+        self.cont = [0] * len(pairs)  # per-slot continuation count
+        self.last_rnorm = [None] * len(pairs)  # per-slot progress tracking
 
     def pending(self) -> List[int]:
         return [i for i, r in enumerate(self.results) if r is None]
@@ -597,6 +649,7 @@ def generate_data_batched(
         "failures": 0,  # singular_resamples + cg_failures
         "singular_resamples": 0,
         "cg_failures": 0,
+        "continuations": 0,
         # (rnorm, iterations) of every failed CG lane — distinguishes
         # "stagnated just above accept_tol" (preconditioner/tolerance
         # problem) from "diverged/NaN" (genuinely near-singular draw).
@@ -694,6 +747,8 @@ def generate_data_batched(
                 tri_bucket=buckets.tri,
                 min_incidence_degree=buckets.degree,
                 include_cell_fields=include_cell_fields,
+                max_iters=ITERS_PER_DISPATCH,
+                restarts=RESTARTS_PER_DISPATCH,
             )
 
     def write_job(job: _PlateJob, plate_number: int) -> None:
@@ -767,16 +822,20 @@ def generate_data_batched(
                 ensure_solver(job)  # rebuild the narrower ones
         payloads = []
         pendings = []
+        x0s = []
         for job in jobs:
             idx = job.pending()
             probs = [job.pairs[i][1] for i in idx]
+            warms = [job.warm[i] for i in idx]
             while len(probs) < conditions_per_plate:  # pad retry lanes
                 probs.append(probs[-1])
+                warms.append(warms[-1])
             payloads.append((job.solver, probs))
             pendings.append(idx)
+            x0s.append(warms)
         with stages.stage("dispatch"):
             token = dispatch_plate_group(
-                payloads, sharding=sharding, pad_group_to=group_size
+                payloads, sharding=sharding, pad_group_to=group_size, x0s=x0s
             )
             # Stage the D2H transfer as soon as the solve finishes (it
             # queues behind the compute), so the later blocking
@@ -854,24 +913,46 @@ def generate_data_batched(
             for slot, result in zip(idx, results):
                 if result.success:
                     job.results[slot] = result
+                    job.warm[slot] = None
+                    job.last_rnorm[slot] = None
                     stats["converged_iters"].append(int(result.iterations))
-                else:
-                    stats["failures"] += 1
-                    stats["cg_failures"] += 1
-                    stats["failed_lanes"].append(
-                        (float(result.residual_norm), int(result.iterations))
+                    continue
+                rnorm = float(result.residual_norm)
+                prev = job.last_rnorm[slot]
+                if (
+                    np.isfinite(rnorm)
+                    and rnorm < CONTINUE_RNORM_LIMIT
+                    and job.cont[slot] < MAX_CONTINUATIONS
+                    and (prev is None or rnorm < CONTINUE_PROGRESS_FACTOR * prev)
+                ):
+                    # slow, not singular: continue in a later chunk from
+                    # the partial solution (u(1) = displacements[-1] = x)
+                    job.cont[slot] += 1
+                    job.warm[slot] = np.asarray(
+                        result.displacements[-1], np.float32
                     )
-                    job.retries += 1
-                    with stages.stage("conditions"):
-                        pair = (
-                            fresh_pair(job.mesh, job.pool)
-                            if job.retries <= max_condition_retries
-                            else None
-                        )
-                    if pair is None:
-                        job.retries = -1  # abandon marker
-                        break
-                    job.pairs[slot] = pair
+                    job.last_rnorm[slot] = rnorm
+                    stats["continuations"] += 1
+                    continue
+                stats["failures"] += 1
+                stats["cg_failures"] += 1
+                stats["failed_lanes"].append(
+                    (rnorm, int(result.iterations))
+                )
+                job.retries += 1
+                job.warm[slot] = None
+                job.cont[slot] = 0
+                job.last_rnorm[slot] = None
+                with stages.stage("conditions"):
+                    pair = (
+                        fresh_pair(job.mesh, job.pool)
+                        if job.retries <= max_condition_retries
+                        else None
+                    )
+                if pair is None:
+                    job.retries = -1  # abandon marker
+                    break
+                job.pairs[slot] = pair
             if job.retries < 0:
                 if verbose:
                     print("abandoning unsatisfiable plate")

@@ -336,6 +336,7 @@ def _solve_core(
     agg_ids=None,
     arms=None,
     n_coarse: int = 0,
+    x0=None,
 ):
     """Element-minor / planar-dof solve core (see elasticity.py's layout
     note: every per-element array keeps the long axis minor so TPU (8,128)
@@ -385,6 +386,7 @@ def _solve_core(
         loads.T.reshape(-1),  # (N,2) -> planar (2N,)
         diag.T.reshape(-1),
         free_planar,
+        x0=None if x0 is None else x0.T.reshape(-1),  # (N,2) -> planar
         tol=tol,
         max_iters=max_iters // max(restarts, 1),
         accept_tol=accept_tol,

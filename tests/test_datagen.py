@@ -275,3 +275,44 @@ def test_forced_buckets_match_natural_solve():
         assert np.abs(un - uf).max() / scale < 1e-5
         compared += 1
     assert compared >= 1
+
+
+def test_warm_start_continuation_matches_full_solve():
+    """The scheduler's continuation path: a solve cut off by a small
+    per-dispatch iteration budget, re-dispatched with x0 = its partial
+    solution, must converge to the full-budget answer (warm restarts
+    recompute the true residual, so chained budgets == one long solve)."""
+    from fea_tpu.datagen.batched import PlateSolver, solve_plate_group
+    from fea_tpu.datagen.conditions import ConditionSampler
+
+    mesh = triangulate(UNIT_SQUARE, mesh_size=0.14)
+    sampler = ConditionSampler(random_seed=5)
+    solver = PlateSolver(mesh, num_steps=2)
+    problem = None
+    for _ in range(50):
+        p = solver.build_problem(sampler.sample_one(mesh))
+        if not p.structurally_singular():
+            problem = p
+            break
+    assert problem is not None
+
+    full = solve_plate_group([(solver, [problem])])[0][0]
+    assert full.success
+
+    # Budget so small the first dispatch cannot converge, then continue.
+    partial = solve_plate_group([(solver, [problem])], max_iters=4)[0][0]
+    warm = np.asarray(partial.displacements[-1], np.float32)
+    chained = partial
+    for _ in range(40):
+        if chained.success:
+            break
+        chained = solve_plate_group(
+            [(solver, [problem])], max_iters=40, x0s=[[warm]]
+        )[0][0]
+        warm = np.asarray(chained.displacements[-1], np.float32)
+    assert chained.success, "continuation never converged"
+
+    uf = np.asarray(full.displacements)
+    uc = np.asarray(chained.displacements)
+    scale = max(np.abs(uf).max(), 1e-12)
+    assert np.abs(uf - uc).max() / scale < 1e-3

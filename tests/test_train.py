@@ -272,3 +272,46 @@ def test_diffusion_trainer_end_to_end(tiny_dataset, tmp_path):
     trainer2 = DiffusionTrainer(config)
     trainer2.load_checkpoint("final")
     assert int(trainer2.state.step) == 2
+
+
+def test_dataset_from_strain_interleaved_ranges(tmp_path):
+    """Datasets generated with --save_strain/--save_stress interleave all
+    fields' range lines per step in ranges.txt (pipeline's write order);
+    FEADataset must look displacement ranges up BY NAME, not by
+    positional (step-1)*2 stride (the reference's fragility,
+    model/diffusion.py:359-379)."""
+    data_dir = str(tmp_path / "data")
+    generate_data(
+        data_dir=data_dir,
+        image_size=64,
+        num_plates=1,
+        conditions_per_plate=1,
+        mesh_size=0.08,
+        holes_per_polygon_range=(0, 0),
+        num_steps_per_condition=3,
+        save_strain=True,
+        save_stress=True,
+        save_meshes=True,
+        seed=6,
+        verbose=False,
+    )
+    # ranges.txt now interleaves displacement/strain/stress per step
+    with open(os.path.join(data_dir, "1", "1", "ranges.txt")) as f:
+        names = [l.split(":")[0] for l in f.readlines()]
+    assert any(n.startswith("strain") for n in names)
+    assert any(n.startswith("displacement_x") for n in names)
+
+    ds = FEADataset(
+        folder=data_dir,
+        image_size=64,
+        num_steps=3,
+        conditions_per_plate=1,
+    )
+    from fea_tpu.mesh import read_vtk
+
+    sample = ds[0]  # step 1
+    u1 = read_vtk(os.path.join(data_dir, "1", "1", "domain.1.vtk"))["u"]
+    r = np.asarray(sample["displacement_range"], np.float64)
+    # lo_x, hi_x from the NAMED displacement_x_1 entry == VTK extremes
+    np.testing.assert_allclose(r[0], u1[:, 0].min(), rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(r[1], u1[:, 0].max(), rtol=1e-5, atol=1e-9)
