@@ -115,6 +115,12 @@ def _add_train(sub):
     p.add_argument("--skip_dataset_size_check", action="store_true",
                    help=argparse.SUPPRESS)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--cache_dataset", action="store_true", default=None,
+                   help="Keep decoded samples in RAM (~2 MB each at "
+                        "256px). Default: auto (on when the dataset has "
+                        "<= 20k samples).")
+    p.add_argument("--no_cache_dataset", dest="cache_dataset",
+                   action="store_false", help=argparse.SUPPRESS)
     p.add_argument("--num_gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_steps", type=int, default=10000)
     p.add_argument("--num_steps_per_milestone", type=int, default=500)
@@ -152,6 +158,7 @@ def _cmd_train(args):
         num_sample_conditions_per_plate=args.num_sample_conditions_per_plate,
         results_folder=args.results_dir,
         skip_dataset_size_check=args.skip_dataset_size_check,
+        cache_datasets=args.cache_dataset,
         disable_auxiliary=(
             True if args.disable_auxiliary is None else args.disable_auxiliary
         ),

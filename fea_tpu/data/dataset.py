@@ -75,7 +75,15 @@ class FEADataset:
         num_steps: int = 11,
         min_max_magnitude: Optional[Tuple[int, int]] = None,
         min_max_youngs_modulus: Optional[Tuple[int, int]] = None,
+        cache_samples: bool = False,
     ):
+        """`cache_samples` keeps every decoded sample in RAM (~2 MB each
+        at 256px). Samples are deterministic (augmentation is vestigial,
+        as in the reference — diffusion.py:150-156), so this trades
+        memory for skipping ~8 PNG decode+resize calls per access — the
+        dominant host cost of the training input pipeline on a
+        single-core host (the reference's num_workers=0 DataLoader has
+        the same serialization, train_model.py:77)."""
         self.path = Path(folder)
         assert self.path.exists(), f"Dataset directory {self.path} does not exist."
         assert num_steps >= 2, "num_steps must be >= 2"
@@ -92,6 +100,9 @@ class FEADataset:
         self.total_samples = self.number_of_plate_geometries * self.samples_per_plate
         self.min_max_magnitude = min_max_magnitude
         self.min_max_youngs_modulus = min_max_youngs_modulus
+        self._cache: Optional[Dict[int, Dict[str, np.ndarray]]] = (
+            {} if cache_samples else None
+        )
 
     def __len__(self) -> int:
         return self.total_samples
@@ -111,6 +122,16 @@ class FEADataset:
         return plate, condition, step
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                return hit
+        sample = self._load_item(index)
+        if self._cache is not None:
+            self._cache[index] = sample
+        return sample
+
+    def _load_item(self, index: int) -> Dict[str, np.ndarray]:
         plate, condition, step = self.index_to_ids(index)
         S = self.image_size
         pdir = self.path / str(plate)

@@ -80,6 +80,11 @@ class TrainerConfig:
     num_auxiliary_condition_channels: int = 3  # forces (2) + constraints (1)
     seed: int = 0
     progress_bar: bool = True
+    # keep decoded samples in RAM (~2 MB/sample at 256px) — the PNG
+    # decode pipeline is the host-side bottleneck on few-core hosts.
+    # None = auto: cache when the whole dataset fits comfortably
+    # (<= 20k samples, ~40 GB at 256px); True/False force it.
+    cache_datasets: Optional[bool] = None
     n_devices: Optional[int] = None
     skip_dataset_size_check: bool = False
     inference_only: bool = False  # sampling CLI: no effective-batch floor
@@ -117,6 +122,15 @@ class Trainer:
             num_steps=config.num_steps_per_condition,
             start_plate_index=config.train_start_plate_index,
         )
+        if dataset is None:
+            cache = config.cache_datasets
+            if cache is None:  # auto: whole-set cache must fit in RAM
+                cache = len(self.dataset) <= 20_000
+            if cache:
+                self.dataset._cache = {}
+        # The sample set is re-decoded at EVERY soft milestone; always
+        # cache it (it is small: milestones would otherwise pay
+        # n_samples x ~8 PNG decodes each, serialized on the host core).
         self.sample_dataset = (
             sample_dataset
             if sample_dataset is not None
@@ -126,6 +140,7 @@ class Trainer:
                 conditions_per_plate=config.num_sample_conditions_per_plate,
                 num_steps=config.num_steps_per_sample_condition,
                 start_plate_index=config.sample_start_plate_index,
+                cache_samples=True,
             )
         )
         if not config.skip_dataset_size_check:
@@ -150,7 +165,11 @@ class Trainer:
             num_auxiliary_condition_channels=config.num_auxiliary_condition_channels,
         )
 
-        self.results_folder = Path(config.results_folder)
+        # resolve(): orbax saves to absolute paths, and the checkpoint-zip
+        # arcnames are computed with relative_to(results_folder) — a
+        # relative results_dir would make that raise mid-training at the
+        # first milestone.
+        self.results_folder = Path(config.results_folder).resolve()
         self.results_folder.mkdir(parents=True, exist_ok=True)
         log_name = "train-e{}-b{}-lr{}-{}.log".format(
             config.num_train_steps,

@@ -315,3 +315,46 @@ def test_dataset_from_strain_interleaved_ranges(tmp_path):
     # lo_x, hi_x from the NAMED displacement_x_1 entry == VTK extremes
     np.testing.assert_allclose(r[0], u1[:, 0].min(), rtol=1e-5, atol=1e-9)
     np.testing.assert_allclose(r[1], u1[:, 0].max(), rtol=1e-5, atol=1e-9)
+
+
+def test_dataset_cache_returns_identical_samples(tiny_dataset):
+    ds_plain = FEADataset(
+        folder=tiny_dataset, image_size=64, num_steps=3, conditions_per_plate=2
+    )
+    ds_cached = FEADataset(
+        folder=tiny_dataset, image_size=64, num_steps=3, conditions_per_plate=2,
+        cache_samples=True,
+    )
+    for i in range(len(ds_plain)):
+        a, b = ds_plain[i], ds_cached[i]
+        c = ds_cached[i]  # cache hit
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(b[k], c[k])
+    assert len(ds_cached._cache) == len(ds_plain)
+
+
+def test_checkpoint_save_with_relative_results_dir(tiny_dataset, tmp_path, monkeypatch):
+    """Regression: a RELATIVE --results_dir crashed the first milestone
+    save (orbax writes absolute paths; the zip arcname used
+    relative_to(results_folder) and raised ValueError)."""
+    monkeypatch.chdir(tmp_path)
+    config = TrainerConfig(
+        dataset_folder=tiny_dataset,
+        sample_dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=1,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        num_sample_conditions_per_plate=2,
+        results_folder="rel_results",  # relative on purpose
+        skip_dataset_size_check=True,
+    )
+    trainer = Trainer(config)
+    trainer.save_checkpoint("best")
+    assert (tmp_path / "rel_results" / "model-best").is_dir()
+    assert (tmp_path / "rel_results" / "model-best.zip").is_file()
