@@ -358,3 +358,28 @@ def test_checkpoint_save_with_relative_results_dir(tiny_dataset, tmp_path, monke
     trainer.save_checkpoint("best")
     assert (tmp_path / "rel_results" / "model-best").is_dir()
     assert (tmp_path / "rel_results" / "model-best.zip").is_file()
+
+
+def test_auto_resume_picks_newest_milestone(tiny_dataset, tmp_path):
+    config = TrainerConfig(
+        dataset_folder=tiny_dataset,
+        sample_dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=1,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        num_sample_conditions_per_plate=2,
+        results_folder=str(tmp_path / "res"),
+        skip_dataset_size_check=True,
+    )
+    trainer = Trainer(config)
+    trainer.save_checkpoint("best")  # step 0
+    trainer.state = trainer.state.replace(step=trainer.state.step + 7)
+    trainer.save_checkpoint("latest")  # step 7 — newer despite the name
+    assert trainer._newest_milestone() == "latest"
+    trainer.state = trainer.state.replace(step=trainer.state.step * 0)
+    trainer.load_checkpoint("auto")
+    assert int(np.asarray(trainer.state.step)) == 7
