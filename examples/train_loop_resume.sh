@@ -1,29 +1,39 @@
-# Crash-resilient training driver: the tunneled-device plugin leaks host
-# memory per step, so long runs can be OOM-killed; milestones save every
-# 500 steps and --checkpoint latest resumes, so just loop until the run
-# completes normally.
-cd /root/repo
-for attempt in 1 2 3 4 5 6 7 8; do
+#!/usr/bin/env bash
+# Crash-resilient training driver. On this container the tunneled device
+# plugin leaks host staging memory per step, so 10k-step runs are
+# OOM-killed every ~2000 steps; milestones save every 500 steps and
+# `--checkpoint auto` resumes from the newest readable checkpoint, so
+# looping the CLI until it exits 0 completes the run losing at most one
+# milestone per crash. Harmless on healthy runtimes (single iteration).
+#
+# Usage: DATA=runs/train_data EVAL=runs/eval_data RES=runs/results \
+#        STEPS=10000 bash examples/train_loop_resume.sh
+set -u
+
+DATA=${DATA:-runs/train_data}
+EVAL=${EVAL:-runs/eval_data}
+RES=${RES:-runs/results}
+STEPS=${STEPS:-10000}
+BS=${BS:-16}
+
+resume=()
+if [ -d "$RES/model-latest" ] || [ -d "$RES/model-best" ]; then
+  resume=(--checkpoint auto)
+fi
+
+for attempt in $(seq 1 10); do
   python -m fea_tpu train \
-    --data_dir /root/repo/runs/train_data --sample_data_dir /root/repo/runs/eval_data \
-    --image_size 256 --batch_size 16 --num_steps 10000 \
+    --data_dir "$DATA" --sample_data_dir "$EVAL" \
+    --image_size 256 --batch_size "$BS" --num_steps "$STEPS" \
     --learning_rate 3e-4 --num_steps_per_milestone 500 \
     --conditions_per_plate 4 --num_steps_per_condition 6 \
     --num_steps_per_sample_condition 6 --num_sample_conditions_per_plate 1 \
     --skip_dataset_size_check \
-    --results_dir /root/repo/runs/results --checkpoint auto
+    --results_dir "$RES" "${resume[@]}"
   rc=$?
   echo "ATTEMPT $attempt EXIT $rc"
-  if [ $rc -eq 0 ]; then break; fi
+  [ $rc -eq 0 ] && exit 0
+  resume=(--checkpoint auto)
   sleep 20
 done
-python -m fea_tpu sample --milestone best \
-  --data_dir /root/repo/runs/train_data --sample_data_dir /root/repo/runs/eval_data \
-  --image_size 256 --batch_size 16 \
-  --num_steps_per_condition 6 --num_sample_conditions_per_plate 4 \
-  --results_dir /root/repo/runs/results
-python -m fea_tpu accuracy \
-  --data_dir /root/repo/runs/eval_data --results_dir /root/repo/runs/results \
-  --milestone best --image_size 256 --num_plates 16 --conditions_per_plate 4 \
-  --steps_per_condition 6
-echo PIPELINE_DONE
+exit 1

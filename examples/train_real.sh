@@ -38,14 +38,10 @@ if [ ! -f "$EVAL/.done" ]; then
   touch "$EVAL/.done"
 fi
 
-python -m fea_tpu train \
-  --data_dir "$DATA" --sample_data_dir "$EVAL" \
-  --image_size 256 --batch_size "$BS" --num_steps "$STEPS" \
-  --learning_rate 3e-4 --num_steps_per_milestone 500 \
-  --conditions_per_plate 4 --num_steps_per_condition 6 \
-  --num_steps_per_sample_condition 6 --num_sample_conditions_per_plate 1 \
-  --skip_dataset_size_check \
-  --results_dir "$RES"
+# Crash-resilient loop (the tunneled runtime OOM-kills long runs; see
+# train_loop_resume.sh). Produces model-best/model-latest/model-final.
+DATA="$DATA" EVAL="$EVAL" RES="$RES" STEPS="$STEPS" BS="$BS" \
+  bash "$(dirname "$0")/train_loop_resume.sh"
 
 # Render the best checkpoint's predictions for every eval sample, then
 # score them against the domain.N.vtk ground truth.

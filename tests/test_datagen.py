@@ -316,3 +316,42 @@ def test_warm_start_continuation_matches_full_solve():
     uc = np.asarray(chained.displacements)
     scale = max(np.abs(uf).max(), 1e-12)
     assert np.abs(uf - uc).max() / scale < 1e-3
+
+
+def test_batched_continuation_end_to_end(tmp_path, monkeypatch):
+    """With a deliberately tiny per-dispatch budget, most lanes cannot
+    converge in one chunk — the scheduler must finish every plate via
+    warm-start continuations, and the outputs must be finite and
+    complete (no resample storm: the conditions are valid, just slow
+    at this budget)."""
+    import fea_tpu.datagen.batched as B
+
+    monkeypatch.setattr(B, "ITERS_PER_DISPATCH", 40)
+    monkeypatch.setattr(B, "RESTARTS_PER_DISPATCH", 1)
+    monkeypatch.setattr(B, "MAX_CONTINUATIONS", 50)
+    # a 40-iteration dispatch often improves rnorm by <30%: disable the
+    # cross-dispatch progress cut so slow-but-steady lanes keep going
+    monkeypatch.setattr(B, "CONTINUE_PROGRESS_FACTOR", 1.0)
+
+    data_dir = str(tmp_path / "cdata")
+    stats = B.generate_data_batched(
+        data_dir=data_dir,
+        image_size=96,
+        num_plates=2,
+        conditions_per_plate=2,
+        mesh_size=0.06,
+        holes_per_polygon_range=(0, 1),
+        num_steps_per_condition=3,
+        save_meshes=True,
+        seed=42,
+        batch_size=2,
+        verbose=False,
+    )
+    assert stats["plates"] == 2
+    assert stats["continuations"] > 0, "tiny budget must force continuations"
+    for plate in ("1", "2"):
+        for cond in ("1", "2"):
+            cdir = os.path.join(data_dir, plate, cond)
+            u1 = read_vtk(os.path.join(cdir, "domain.1.vtk"))["u"]
+            assert np.isfinite(u1).all()
+            assert np.abs(u1).max() > 0
