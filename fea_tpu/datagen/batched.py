@@ -426,7 +426,11 @@ def dispatch_plate_group(
 def fetch_plate_group(token, payloads):
     """Blocking half of `solve_plate_group`: ONE round trip for the whole
     group, then unpack per plate/condition."""
-    packed = np.asarray(token)
+    return unpack_plate_group(np.asarray(token), payloads)
+
+
+def unpack_plate_group(packed, payloads):
+    """Host-side unpack of an already-fetched packed group array."""
     out = []
     for (s, problems), packed_plate in zip(payloads, packed):
         results = []
@@ -645,9 +649,21 @@ def generate_data_batched(
 
     stats = {
         "plates": 0,
+        # Device-side accounting (what the TPU actually ran):
+        #   lane_dispatches  — every pending lane sent to the device,
+        #                      including continuation re-dispatches
+        #   solves           — unique condition attempts dispatched
+        #                      (= lane_dispatches - continuations)
+        #   failures         — dispatched attempts that failed CG
+        #                      (= cg_failures)
+        # Host-side accounting (never touched the device):
+        #   host_rejections  — structurally-singular draws rejected by the
+        #                      microsecond pre-check and resampled
+        "lane_dispatches": 0,
         "solves": 0,
-        "failures": 0,  # singular_resamples + cg_failures
-        "singular_resamples": 0,
+        "failures": 0,
+        "host_rejections": 0,
+        "singular_resamples": 0,  # alias of host_rejections (bench compat)
         "cg_failures": 0,
         "continuations": 0,
         # (rnorm, iterations) of every failed CG lane — distinguishes
@@ -656,6 +672,10 @@ def generate_data_batched(
         "failed_lanes": [],
         "converged_iters": [],
         "total_solve_time": 0.0,
+        # union of [dispatch-issue, fetch-complete] intervals: the span the
+        # device+link pipeline was occupied (chunks overlap under
+        # multi-flight dispatch, so this is the honest busy time)
+        "device_busy_s": 0.0,
     }
     run_start = timer()
 
@@ -676,8 +696,7 @@ def generate_data_batched(
             )
             if not problem.structurally_singular():
                 return condition, problem
-            stats["solves"] += 1
-            stats["failures"] += 1
+            stats["host_rejections"] += 1
             stats["singular_resamples"] += 1
             budget -= 1
             if budget <= 0:
@@ -714,8 +733,7 @@ def generate_data_batched(
                         num_steps=num_steps_per_condition,
                     )
                     if problem.structurally_singular():
-                        stats["solves"] += 1
-                        stats["failures"] += 1
+                        stats["host_rejections"] += 1
                         stats["singular_resamples"] += 1
                         pair = fresh_pair(mesh, pool)
                         if pair is None:
@@ -793,13 +811,34 @@ def generate_data_batched(
                 )
 
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FutureTimeout
 
     ready: deque = deque()  # jobs with pending solves
     writes: deque = deque()  # completed jobs awaiting disk writes
-    flights: deque = deque()  # dispatched chunks: (t0, token, payloads, jobs, pendings)
+    flights: deque = deque()  # dispatched chunks: (t0, future, payloads, jobs, pendings)
     plate_seq = (start_plate - 1) if start_plate is not None else 0
     written = 0
-    MAX_FLIGHTS = 2  # double-buffer: chunk k+1 queues while k executes
+    # Three chunks in the pipeline: one executing, one queued on the
+    # device, one absorbing dispatch/link jitter. The blocking
+    # np.asarray conversion runs on a fetch thread (the device wait
+    # releases the GIL), so the scheduler preps and writes while results
+    # land — round 2 measured the fetch wall at 64% of datagen time,
+    # serialized with ~16 s of host work that can hide it.
+    MAX_FLIGHTS = int(os.environ.get("FEA_TPU_MAX_FLIGHTS", "3"))
+    PREP_AHEAD = 2  # ready may hold up to PREP_AHEAD x group_size jobs
+    # one worker per flight: each blocking np.asarray pays a full tunnel
+    # RTT even when the result bytes are staged, so fetches must overlap
+    fetcher = ThreadPoolExecutor(max_workers=MAX_FLIGHTS)
+    busy_intervals: List = []  # (dispatch-issue, fetch-complete) per chunk
+
+    def _fetch_task(token):
+        # Wait for execution BEFORE converting: on the tunneled runtime a
+        # blocking fetch issued against a still-pending buffer takes a
+        # slow completion-wait path (~2-3 s granularity), while
+        # block_until_ready -> asarray completes in ~0.1 s (measured).
+        token.block_until_ready()
+        return np.asarray(token), timer()
 
     def in_system() -> int:
         return (
@@ -808,10 +847,16 @@ def generate_data_batched(
             + sum(len(jobs) for _, _, _, jobs, _ in flights)
         )
 
+    def can_prep() -> bool:
+        return (
+            in_system() + written < num_plates
+            and len(ready) < PREP_AHEAD * group_size
+        )
+
     def dispatch_chunk():
-        """Assemble one chunk from `ready` and dispatch it (async)."""
+        """Assemble one chunk from `ready` and dispatch it (async); the
+        packed-result conversion is handed to the fetch thread."""
         jobs = [ready.popleft() for _ in range(min(group_size, len(ready)))]
-        t0 = timer()
         buckets.update(j.mesh for j in jobs)
         for job in jobs:
             ensure_solver(job)
@@ -834,28 +879,32 @@ def generate_data_batched(
             pendings.append(idx)
             x0s.append(warms)
         with stages.stage("dispatch"):
+            t0 = timer()
             token = dispatch_plate_group(
                 payloads, sharding=sharding, pad_group_to=group_size, x0s=x0s
             )
             # Stage the D2H transfer as soon as the solve finishes (it
-            # queues behind the compute), so the later blocking
+            # queues behind the compute), so the fetch thread's blocking
             # np.asarray finds the bytes already on host instead of
             # paying compute + transfer + tunnel RTT serially.
             try:
                 token.copy_to_host_async()
             except AttributeError:
                 pass  # older jax.Array without the method
-        stats["solves"] += sum(len(i) for i in pendings)
-        flights.append((t0, token, payloads, jobs, pendings))
+            future = fetcher.submit(_fetch_task, token)
+        stats["lane_dispatches"] += sum(len(i) for i in pendings)
+        flights.append((t0, future, payloads, jobs, pendings))
 
-    def drain_writes():
+    def drain_writes(limit: Optional[int] = None):
         nonlocal plate_seq, written
-        while writes:
+        while writes and (limit is None or limit > 0):
             job = writes.popleft()
             plate_seq += 1
             write_job(job, plate_seq)
             written += 1
             stats["plates"] += 1
+            if limit is not None:
+                limit -= 1
             if wandb_inject_function is not None:
                 elapsed = timer() - run_start
                 remaining = (
@@ -868,6 +917,42 @@ def generate_data_batched(
                     f"plate {plate_seq} written "
                     f"({written}/{num_plates}, {rate:.0f} plates/h)"
                 )
+
+    def overlap_until_ready(future) -> None:
+        """Host work (prep, pixel maps, writes) until `future` completes;
+        only the truly idle remainder is charged to the fetch stage."""
+        while not future.done():
+            if can_prep():
+                with stages.stage("overlap_host"):
+                    ready.append(prep_job())
+                continue
+            did = False
+            for _, _, _, jobs, _ in flights:
+                for job in jobs:  # pixel maps for dispatched plates
+                    if job.pixel_map is None:
+                        with stages.stage("pixel_map"):
+                            job.pixel_map = build_pixel_map(
+                                job.mesh.coords,
+                                job.mesh.triangles,
+                                image_size,
+                                pad_candidates=32,
+                                pad_shapes=(buckets.node, buckets.tri),
+                            )
+                        did = True
+                        break
+                if did:
+                    break
+            if did:
+                continue
+            if writes:
+                with stages.stage("overlap_host"):
+                    drain_writes(limit=1)
+                continue
+            with stages.stage("fetch"):
+                try:
+                    future.result(timeout=0.05)
+                except FutureTimeout:
+                    pass
 
     # Pipeline fill: prep the first chunk (nothing to overlap with yet).
     while in_system() + written < num_plates and len(ready) < group_size:
@@ -888,26 +973,27 @@ def generate_data_batched(
                 break
             dispatch_chunk()
 
-        # ---- overlap in-flight solves with host work ----------------------
-        with stages.stage("overlap_host"):
-            for _, _, _, jobs, _ in flights:
-                for job in jobs:  # pixel maps for dispatched plates
-                    if job.pixel_map is None:
-                        with stages.stage("pixel_map"):
-                            job.pixel_map = build_pixel_map(
-                                job.mesh.coords,
-                                job.mesh.triangles,
-                                image_size,
-                                pad_candidates=32,
-                                pad_shapes=(buckets.node, buckets.tri),
-                            )
-            drain_writes()  # completed plates to disk
+        if not flights:
+            # nothing in flight: flush writes, refill for the next lap
+            with stages.stage("overlap_host"):
+                drain_writes()
+                while in_system() + written < num_plates and len(ready) < group_size:
+                    ready.append(prep_job())
+            if not ready and not writes and in_system() == 0 and written < num_plates:
+                continue  # replacement plates for abandoned ones
+            if not ready:
+                continue
+            dispatch_chunk()
 
-        # ---- fetch oldest chunk: ONE round trip --------------------------
-        t0, token, payloads, jobs, pendings = flights.popleft()
+        # ---- overlap the oldest in-flight chunk with host work -----------
+        t0, future, payloads, jobs, pendings = flights[0]
+        overlap_until_ready(future)
+        flights.popleft()
         with stages.stage("fetch"):
-            solved = fetch_plate_group(token, payloads)
-        stats["total_solve_time"] += timer() - t0
+            packed, t_done = future.result()
+        solved = unpack_plate_group(packed, payloads)
+        stats["total_solve_time"] += t_done - t0
+        busy_intervals.append((t0, t_done))
 
         for job, idx, results in zip(jobs, pendings, solved):
             for slot, result in zip(idx, results):
@@ -968,6 +1054,20 @@ def generate_data_batched(
             while in_system() + written < num_plates and len(ready) < group_size:
                 ready.append(prep_job())
 
+    fetcher.shutdown(wait=True)
+    # derived device-honest counters (see stats docstring above)
+    stats["solves"] = stats["lane_dispatches"] - stats["continuations"]
+    stats["failures"] = stats["cg_failures"]
+    busy = 0.0
+    end = None
+    for s, e in sorted(busy_intervals):
+        if end is None or s > end:
+            busy += e - s
+            end = e
+        elif e > end:
+            busy += e - end
+            end = e
+    stats["device_busy_s"] = busy
     if verbose:
         print("TOTAL TIME:", timer() - run_start)
         print(stages.summary())

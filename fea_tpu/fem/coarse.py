@@ -52,8 +52,14 @@ class CoarseSpace(NamedTuple):
 
 def n_coarse_for_bucket(node_bucket: int, agg_target: int = 16) -> int:
     """Static coarse size for a node bucket: ~one aggregate per
-    `agg_target` nodes, floor 8. Shared by all plates in the bucket."""
-    return max(node_bucket // agg_target, 8)
+    `agg_target` nodes, floor 8, cap 1024. Shared by all plates in the
+    bucket. The cap bounds the dense coarse operator: Kc and its inverse
+    are (3*n_coarse)^2 floats per vmapped lane and the factorization is
+    O((3*n_coarse)^3) — uncapped, the upper SHAPE_BUCKETS would OOM HBM
+    (node_bucket 131072 -> nc 8192 -> ~2.4 GB of Kc per lane). 1024
+    aggregates capture the low-frequency modes of any mesh this pipeline
+    produces; beyond that the coarse grid stops paying for itself."""
+    return min(max(node_bucket // agg_target, 8), 1024)
 
 
 def build_aggregates(

@@ -107,10 +107,20 @@ def build_pixel_map(
     # continuous pixel coords of triangle vertices; pixel (r, c)'s center
     # sits at (c + 0.5, r + 0.5)
     vp = frame.pixel_of_world(np.asarray(coords, np.float64))[tri]  # (M,3,2)
-    col_lo = np.clip(np.ceil(vp[..., 0].min(1) - 0.5 - 1e-4), 0, S - 1).astype(np.int64)
-    col_hi = np.clip(np.floor(vp[..., 0].max(1) - 0.5 + 1e-4), 0, S - 1).astype(np.int64)
-    row_lo = np.clip(np.ceil(vp[..., 1].min(1) - 0.5 - 1e-4), 0, S - 1).astype(np.int64)
-    row_hi = np.clip(np.floor(vp[..., 1].max(1) - 0.5 + 1e-4), 0, S - 1).astype(np.int64)
+    # bbox expansion must be at least as loose as the containment test:
+    # score >= -_BARY_TOL admits pixels up to _BARY_TOL (in barycentric
+    # units) outside an edge, which in pixel units is _BARY_TOL x the
+    # triangle's extent — a fixed pad would be tighter than containment
+    # for large triangles (coarse app meshes at 512px).
+    ext = np.maximum(
+        vp[..., 0].max(1) - vp[..., 0].min(1),
+        vp[..., 1].max(1) - vp[..., 1].min(1),
+    )
+    pad = 1e-4 + _BARY_TOL * ext
+    col_lo = np.clip(np.ceil(vp[..., 0].min(1) - 0.5 - pad), 0, S - 1).astype(np.int64)
+    col_hi = np.clip(np.floor(vp[..., 0].max(1) - 0.5 + pad), 0, S - 1).astype(np.int64)
+    row_lo = np.clip(np.ceil(vp[..., 1].min(1) - 0.5 - pad), 0, S - 1).astype(np.int64)
+    row_hi = np.clip(np.floor(vp[..., 1].max(1) - 0.5 + pad), 0, S - 1).astype(np.int64)
     span_c = col_hi - col_lo + 1
     span_r = row_hi - row_lo + 1
 

@@ -124,8 +124,22 @@ class Trainer:
         )
         if dataset is None:
             cache = config.cache_datasets
-            if cache is None:  # auto: whole-set cache must fit in RAM
-                cache = len(self.dataset) <= 20_000
+            if cache is None:
+                # auto: cache only when the whole decoded set fits in a
+                # fraction of currently-available RAM (a sample is 8
+                # float32 channels at S^2: ~2 MB at 256px). Byte-based,
+                # not count-based — the old 20k-sample threshold meant
+                # ~40 GB regardless of what the host actually had free,
+                # compounding the device-plugin leak's OOM kills.
+                S = config.dataset_image_size
+                est_bytes = len(self.dataset) * (S * S * 8 * 4 + 4096)
+                try:
+                    avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf(
+                        "SC_PAGE_SIZE"
+                    )
+                except (ValueError, OSError):
+                    avail = 8 << 30
+                cache = est_bytes < 0.25 * avail
             if cache:
                 self.dataset._cache = {}
         # The sample set is re-decoded at EVERY soft milestone; always
