@@ -19,6 +19,11 @@ import numpy as np
 from functools import partial
 
 from ..fem.assembly import build_incidence
+from ..fem.banded import (
+    band_assembly_indices,
+    quantize_hb,
+    rcm_permutation,
+)
 from ..fem.coarse import build_aggregates, n_coarse_for_bucket
 from ..fem.problem import (
     SolveResult,
@@ -29,6 +34,22 @@ from ..fem.problem import (
 )
 from ..mesh import Mesh
 from .pipeline import DATAGEN_ACCEPT_TOL, next_bucket
+
+
+def _use_flat_chunk() -> bool:
+    """Flat super-mesh chunk kernel toggle (default on; set
+    FEA_TPU_FLAT_CHUNK=0 to fall back to the two-level vmap kernel)."""
+    import os
+
+    return os.environ.get("FEA_TPU_FLAT_CHUNK", "1") != "0"
+
+
+def _use_banded() -> bool:
+    """Banded CG operator toggle (default on; set FEA_TPU_BANDED=0 to
+    fall back to the incidence gather-sum operator)."""
+    import os
+
+    return os.environ.get("FEA_TPU_BANDED", "1") != "0"
 
 
 @partial(
@@ -187,10 +208,14 @@ class PlateSolver:
         node_bucket: Optional[int] = None,
         tri_bucket: Optional[int] = None,
         min_incidence_degree: int = 0,
+        band_hb: int = 0,
     ):
-        """`node_bucket`/`tri_bucket`/`min_incidence_degree` force the padded
-        shapes (bumped up if the mesh doesn't fit) so a group of plates can
-        share ONE compiled kernel — and hence one dispatch + one fetch."""
+        """`node_bucket`/`tri_bucket`/`min_incidence_degree`/`band_hb` force
+        the padded shapes (bumped up if the mesh doesn't fit) so a group of
+        plates can share ONE compiled kernel — and hence one dispatch + one
+        fetch. `band_hb` is the forced minimum banded half-bandwidth; the
+        solver RCM-permutes its scaffold and precomputes the band scatter
+        plan whenever banding is enabled (fem/banded.py)."""
         self.mesh = mesh
         self.num_steps = num_steps
         self.n = mesh.num_nodes
@@ -225,21 +250,52 @@ class PlateSolver:
             loads=np.zeros((self.n, 2)),
             num_steps=num_steps,
         ).padded(self.node_bucket, self.tri_bucket)
-        self._padded_triangles = scaffold.triangles
         self._pad_fixed_tail = scaffold.fixed_nodes[self.n :]
+
+        # Banded operator scaffold: RCM-permute the node order so K is
+        # narrow-banded, precompute the band scatter plan (fem/banded.py).
+        # The permutation is internal — conditions are built on the
+        # original mesh and results are unpermuted at fetch.
+        self.band_hb = 0
+        self._perm = None  # bucket-wide node permutation (None = identity)
+        self._unperm = None
+        coords_s, tris_s = scaffold.coords, scaffold.triangles
+        if band_hb >= 0 and _use_banded() and self.dtype == jnp.float32:
+            perm_r, hb_nat = rcm_permutation(mesh.triangles, self.n)
+            hb = max(quantize_hb(hb_nat), band_hb)
+            if hb <= self.node_bucket // 4:
+                perm = np.arange(self.node_bucket, dtype=np.int64)
+                perm[: self.n] = perm_r
+                inv = np.argsort(perm)
+                self.band_hb = hb
+                self._perm = perm
+                self._unperm = inv
+                coords_s = coords_s[perm]
+                tris_s = inv[tris_s].astype(np.int64)
+                # padding (ghost) triangles have Ke == 0 exactly (E=0),
+                # but their node ids span the whole ghost ring — route
+                # their zero contributions to node 0 so they never widen
+                # the band
+                tris_band = tris_s.copy()
+                tris_band[self.m :] = 0
+                self.band_idx_dev = jnp.asarray(
+                    band_assembly_indices(tris_band, self.node_bucket, hb)
+                )
+
+        self._padded_triangles = tris_s
         incidence = build_incidence(
-            scaffold.triangles,
+            tris_s,
             self.node_bucket,
             pad_degree=self._min_incidence_degree,
         )
-        self.coords_dev = jnp.asarray(scaffold.coords, self.dtype)
-        self.triangles_dev = jnp.asarray(scaffold.triangles, jnp.int32)
+        self.coords_dev = jnp.asarray(coords_s, self.dtype)
+        self.triangles_dev = jnp.asarray(tris_s, jnp.int32)
         self.slots_dev = incidence.slots
         # Coarse rigid-body-mode space (condition-independent, per plate;
         # a pure function of node_bucket so grouped plates share shapes).
         self.n_coarse = n_coarse_for_bucket(self.node_bucket)
         space = build_aggregates(
-            scaffold.coords, self.n_coarse, n_real=self.n
+            coords_s, self.n_coarse, n_real=self.n
         )
         self.agg_dev = jnp.asarray(space.agg_ids)
         self.arms_dev = jnp.asarray(space.arms, self.dtype)
@@ -257,13 +313,7 @@ class PlateSolver:
 
     def dispatch(self, problem: StaticProblem):
         """Async dispatch; returns a device array (the packed result)."""
-        pad_m = self.tri_bucket - self.m
-        young = np.concatenate([problem.young, np.zeros(pad_m)])
-        poisson = np.concatenate([problem.poisson, np.zeros(pad_m)])
-        free = ~np.concatenate([problem.fixed_nodes, self._pad_fixed_tail])
-        loads = np.concatenate(
-            [problem.loads, np.zeros((self.node_bucket - self.n, 2))]
-        )
+        young, poisson, free, loads = self._pad_condition_arrays(problem)
         return _solve_kernel_packed(
             self.coords_dev,
             self.triangles_dev,
@@ -284,8 +334,10 @@ class PlateSolver:
 
     def fetch(self, token) -> SolveResult:
         packed = np.asarray(token)  # single round trip
-        result = unpack_solve(
-            packed, self.node_bucket, self.tri_bucket, self.num_steps
+        result = self._unpermute(
+            unpack_solve(
+                packed, self.node_bucket, self.tri_bucket, self.num_steps
+            )
         )
         return result._replace(
             displacements=result.displacements[:, : self.n],
@@ -301,7 +353,18 @@ class PlateSolver:
         loads = np.concatenate(
             [problem.loads, np.zeros((self.node_bucket - self.n, 2))]
         )
+        if self._perm is not None:
+            free = free[self._perm]
+            loads = loads[self._perm]
         return young, poisson, free.astype(np.float32), loads
+
+    def _unpermute(self, result: SolveResult) -> SolveResult:
+        """Solver scaffold order -> original mesh node order."""
+        if self._unperm is None:
+            return result
+        return result._replace(
+            displacements=result.displacements[:, self._unperm]
+        )
 
     def dispatch_batch(self, problems: List[StaticProblem]):
         """One dispatch for a batch of conditions on this plate's mesh."""
@@ -332,8 +395,10 @@ class PlateSolver:
         packed_b = np.asarray(token)  # ONE round trip for the whole batch
         out = []
         for packed in packed_b:
-            result = unpack_solve(
-                packed, self.node_bucket, self.tri_bucket, self.num_steps
+            result = self._unpermute(
+                unpack_solve(
+                    packed, self.node_bucket, self.tri_bucket, self.num_steps
+                )
             )
             out.append(
                 result._replace(
@@ -349,7 +414,12 @@ class PlateSolver:
 
     @property
     def shape_key(self):
-        return (self.node_bucket, self.tri_bucket, int(self.slots_dev.shape[1]))
+        return (
+            self.node_bucket,
+            self.tri_bucket,
+            int(self.slots_dev.shape[1]),
+            self.band_hb,
+        )
 
 
 def dispatch_plate_group(
@@ -375,7 +445,13 @@ def dispatch_plate_group(
             x0s = list(x0s) + [x0s[-1]] * (pad_group_to - n_real)
     solver0 = payloads[0][0]
     for s, _ in payloads:
-        assert s.shape_key == solver0.shape_key
+        assert s.shape_key[:3] == solver0.shape_key[:3]
+    # banded requires a uniform half-bandwidth across the group (the
+    # scheduler forces this via RunningBuckets.band); ad-hoc groups with
+    # mixed hb fall back to the incidence operator
+    band_hb = solver0.band_hb
+    if any(s.band_hb != band_hb for s, _ in payloads):
+        band_hb = 0
 
     coords_p = jnp.stack([s.coords_dev for s, _ in payloads])
     tris_p = jnp.stack([s.triangles_dev for s, _ in payloads])
@@ -395,6 +471,8 @@ def dispatch_plate_group(
             for ci, w in enumerate(x0s[pi]):
                 if w is not None:
                     x0_c[ci, : s.n] = w
+        if s._perm is not None:  # warm starts arrive in original order
+            x0_c = x0_c[:, s._perm]
         x0.append(x0_c)
     dtype = solver0.dtype
     args = [
@@ -412,8 +490,7 @@ def dispatch_plate_group(
     if sharding is not None:
         args = [jax.device_put(a, sharding) for a in args]
 
-    return _solve_multi_plate_kernel(
-        *args,
+    kw = dict(
         tol=solver0.tol if tol is None else tol,
         max_iters=solver0.max_iters if max_iters is None else max_iters,
         accept_tol=solver0.accept_tol,
@@ -421,6 +498,25 @@ def dispatch_plate_group(
         include_cell_fields=solver0.include_cell_fields,
         n_coarse=solver0.n_coarse,
     )
+    if sharding is None and _use_flat_chunk():
+        # Single-device chunks run the flat super-mesh kernel: the plate
+        # axis folds into the dof axis so every CG-loop gather uses shared
+        # (unbatched) index tables — measured ~1.6x faster lowering than
+        # the batched-table two-level vmap on TPU (see fem/flatgroup.py).
+        # With banded solvers the CG operator additionally becomes a
+        # dense block-shifted band matmul (fem/banded.py) — zero gathers
+        # in the hot loop. The sharded path keeps the per-plate vmap
+        # (each device solves whole plates; flat concat would turn
+        # per-plate reductions into cross-device collectives).
+        from ..fem.flatgroup import solve_flat_group_kernel
+
+        band_idx_p = None
+        if band_hb > 0:
+            band_idx_p = jnp.stack([s.band_idx_dev for s, _ in payloads])
+        return solve_flat_group_kernel(
+            *args, band_idx_p=band_idx_p, band_hb=band_hb, **kw
+        )
+    return _solve_multi_plate_kernel(*args, **kw)
 
 
 def fetch_plate_group(token, payloads):
@@ -435,8 +531,10 @@ def unpack_plate_group(packed, payloads):
     for (s, problems), packed_plate in zip(payloads, packed):
         results = []
         for packed_cond in packed_plate[: len(problems)]:
-            r = unpack_solve(
-                packed_cond, s.node_bucket, s.tri_bucket, s.num_steps
+            r = s._unpermute(
+                unpack_solve(
+                    packed_cond, s.node_bucket, s.tri_bucket, s.num_steps
+                )
             )
             results.append(
                 r._replace(
@@ -488,6 +586,7 @@ class RunningBuckets:
         self.node = 0
         self.tri = 0
         self.degree = 0
+        self.band = 0
 
     def update(self, meshes) -> None:
         for mesh in meshes:
@@ -497,6 +596,7 @@ class RunningBuckets:
     def update_degree(self, solvers) -> None:
         for s in solvers:
             self.degree = max(self.degree, int(s.slots_dev.shape[1]))
+            self.band = max(self.band, s.band_hb)
 
 
 # --- scheduler tuning (generate_data_batched) -------------------------------
@@ -755,6 +855,14 @@ def generate_data_batched(
             and job.solver.node_bucket == key[0]
             and job.solver.tri_bucket == key[1]
             and job.solver.slots_dev.shape[1] >= buckets.degree
+            and (
+                job.solver.band_hb == 0
+                if buckets.band < 0
+                else (
+                    job.solver.band_hb == 0
+                    or job.solver.band_hb >= buckets.band
+                )
+            )
         ):
             return
         with stages.stage("solver_build"):
@@ -764,6 +872,7 @@ def generate_data_batched(
                 node_bucket=buckets.node,
                 tri_bucket=buckets.tri,
                 min_incidence_degree=buckets.degree,
+                band_hb=buckets.band,
                 include_cell_fields=include_cell_fields,
                 max_iters=ITERS_PER_DISPATCH,
                 restarts=RESTARTS_PER_DISPATCH,
@@ -865,6 +974,19 @@ def generate_data_batched(
             buckets.degree = wmax
             for job in jobs:
                 ensure_solver(job)  # rebuild the narrower ones
+        hbs = [j.solver.band_hb for j in jobs]
+        if buckets.band >= 0:
+            if 0 in hbs and max(hbs) > 0:
+                # one plate capped out of banding — a chunk can't mix
+                # operators, so disable banding for the rest of the run
+                # (monotone, like every other bucket decision)
+                buckets.band = -1
+                for job in jobs:
+                    ensure_solver(job)
+            elif max(hbs) > buckets.band:
+                buckets.band = max(hbs)
+                for job in jobs:
+                    ensure_solver(job)  # rebuild the narrower bands
         payloads = []
         pendings = []
         x0s = []

@@ -1,0 +1,150 @@
+"""Banded stiffness operator: the zero-gather CG matvec for TPU.
+
+The matrix-free incidence operator (assembly.py) spends its time in
+per-iteration gathers (element-dof gather + incidence gather-sum), which
+lower to ~1-2 elements/cycle scalar address streams on TPU — measured
+~14 ms per 32-lane chunk iteration at the production datagen shape.
+
+This module reformulates K·u as a *dense banded* product instead:
+
+  * host side, once per mesh: a reverse-Cuthill-McKee permutation of the
+    nodes. Real datagen meshes (mesh_size 1e-2, ~4-8k nodes) have RCM
+    node bandwidth 50-120, i.e. interleaved-dof half-bandwidth ~105-240
+    — tiny next to the 16k dof vector;
+  * once per solve: K's element blocks are scatter-added into a
+    block-shifted dense band S of shape (n_blocks, R, W) where row
+    block b holds rows [bR, bR+R) and column c of block b is global
+    column bR + c - hb. Every K entry with |i-j| <= hb has a slot
+    (W = 2*hb + R), so S·window == K·u exactly;
+  * every CG iteration: y = einsum('brw,bw->br', S, windows(u)) — one
+    batched dense matmul on the MXU with a static-index window gather,
+    no data-dependent addressing at all. Measured ~3.3 ms per 32-lane
+    chunk iteration (HBM-bandwidth-bound on the band read), ~4x the
+    incidence operator, and the window/einsum pattern scales with
+    bandwidth, not node count.
+
+The permutation lives entirely inside the solver scaffold: conditions
+are built on the original mesh, per-condition arrays are permuted on
+host at dispatch, and displacements are unpermuted at fetch, so the
+node-ordering contract (corner vertices first — mesh/mesher.py) is
+unchanged for every consumer.
+
+Replaces the reference's SciPy-CSR + SuperLU representation
+(datagen/fea_analysis.py:371-375) on the datagen hot path.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+# Rows per band block. 128 matches the MXU/VPU lane width; every node
+# bucket is a multiple of 64 so 2*Nb is always divisible by R.
+BAND_R = 128
+
+
+def quantize_hb(hb: int) -> int:
+    """Round a dof half-bandwidth up to a multiple of 64 so grouped
+    plates share compiled band shapes (W = 2*hb + R stays a multiple of
+    128)."""
+    return max(64, ((int(hb) + 63) // 64) * 64)
+
+
+def rcm_permutation(triangles: np.ndarray, n_nodes: int):
+    """RCM node ordering for bandwidth reduction.
+
+    Returns (perm, hb_dof): `perm[k]` = original node id placed at
+    position k, and the natural interleaved-dof half-bandwidth of the
+    permuted mesh (2*node_bw + 1, unquantized)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    tri = np.asarray(triangles, dtype=np.int64)
+    rows = np.concatenate([tri[:, 0], tri[:, 1], tri[:, 2]])
+    cols = np.concatenate([tri[:, 1], tri[:, 2], tri[:, 0]])
+    adj = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n_nodes, n_nodes)
+    )
+    adj = (adj + adj.T).tocsr()
+    perm = np.asarray(
+        reverse_cuthill_mckee(adj, symmetric_mode=True), dtype=np.int64
+    )
+    inv = np.empty(n_nodes, np.int64)
+    inv[perm] = np.arange(n_nodes)
+    node_bw = int(np.abs(inv[rows] - inv[cols]).max()) if len(rows) else 1
+    return perm, 2 * node_bw + 1
+
+
+def band_assembly_indices(
+    triangles: np.ndarray, n_nodes: int, hb: int
+) -> np.ndarray:
+    """Static scatter plan: flat indices into the (2*n_nodes * W,) band
+    buffer for every (k1, k2, e) entry of the element-minor Ke (6,6,M).
+
+    `triangles` must already be in the permuted (banded) node order and
+    satisfy |i-j| <= hb for every element edge. Returns (36, M) int32."""
+    tri = np.asarray(triangles, dtype=np.int64)
+    M = len(tri)
+    W = 2 * hb + BAND_R
+    k = np.arange(6)
+    # interleaved dof of local dof k for each element: 2*node + comp
+    dof = 2 * tri[:, k // 2] + (k % 2)  # (M, 6)
+    i = dof[:, :, None]  # (M, 6, 1) row
+    j = dof[:, None, :]  # (M, 1, 6) col
+    c = j - (i // BAND_R) * BAND_R + hb
+    if c.size and (c.min() < 0 or c.max() >= W):
+        raise ValueError(
+            f"band half-width {hb} too small for mesh (c range "
+            f"[{c.min()}, {c.max()}], W={W})"
+        )
+    flat = i * W + c  # (M, 6, 6); row-major over (i, c)
+    # Ke layout is (k1, k2, e) element-minor -> reorder to (36, M)
+    return np.ascontiguousarray(
+        flat.transpose(1, 2, 0).reshape(36, M)
+    ).astype(np.int32)
+
+
+def assemble_band(Ke, band_idx, n_dofs: int, hb: int):
+    """Scatter-add the element blocks into the block-shifted band.
+
+    Ke: (6,6,M) element-minor; band_idx: (36, M) int32 (flat-chunk
+    callers pre-offset per plate). Returns S (n_dofs//R, R, W). One
+    scatter per solve, amortized over the CG iterations (~0.1 ms/lane
+    per eventual iteration at the datagen shape)."""
+    W = 2 * hb + BAND_R
+    S = jnp.zeros((n_dofs * W,), Ke.dtype)
+    S = S.at[band_idx.reshape(-1)].add(Ke.reshape(-1))
+    return S.reshape(n_dofs // BAND_R, BAND_R, W)
+
+
+def window_index(n_dofs: int, hb: int) -> jnp.ndarray:
+    """(n_blocks, W) static indices into the hb-padded dof vector:
+    window b covers padded positions [bR, bR + W)."""
+    W = 2 * hb + BAND_R
+    nblk = n_dofs // BAND_R
+    return (
+        jnp.arange(nblk, dtype=jnp.int32)[:, None] * BAND_R
+        + jnp.arange(W, dtype=jnp.int32)[None, :]
+    )
+
+
+def banded_matvec(S, x, win_idx, hb: int):
+    """y = K x on interleaved (n_dofs,) vectors via the block-shifted
+    band: window gather (static indices) + one batched MXU matmul."""
+    x_pad = jnp.pad(x, (hb, hb))
+    Xw = x_pad[win_idx]  # (nblk, W)
+    y = jnp.einsum("brw,bw->br", S, Xw, precision=_HIGH)
+    return y.reshape(-1)
+
+
+def planar_to_interleaved(u, n):
+    """(2n,) comp-major planar -> (2n,) node-interleaved."""
+    return u.reshape(2, n).T.reshape(-1)
+
+
+def interleaved_to_planar(u, n):
+    """(2n,) node-interleaved -> (2n,) comp-major planar."""
+    return u.reshape(n, 2).T.reshape(-1)

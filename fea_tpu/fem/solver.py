@@ -188,6 +188,144 @@ def pcg_solve(
     )
 
 
+def pcg_solve_segmented(
+    operator,
+    b,
+    diag,
+    free_mask,
+    n_seg: int,
+    x0=None,
+    tol: float = 1e-10,
+    max_iters: int = 2000,
+    accept_tol: float = None,
+    precondition=None,
+    restarts: int = 1,
+) -> CGResult:
+    """PCG on a block-diagonal super-system of `n_seg` independent
+    segments (plates) with PER-SEGMENT alpha/beta/convergence.
+
+    Vectors are planar over the concatenated node axis: (2 * n_seg * Ns),
+    component-major, segments contiguous within each component block —
+    so every segment reduction is a reshape to (2, n_seg, Ns) and a sum,
+    and every scalar broadcast is the inverse reshape. No gathers.
+
+    Mathematically identical to running `pcg_solve` per segment (the
+    scalars decouple exactly on a block-diagonal operator), but one
+    device program: the operator/preconditioner run over the whole flat
+    vector with shared constant index tables (see fem/flatgroup.py).
+    Segments that converge freeze (their updates are masked) while the
+    remaining segments iterate; the loop exits when every segment is
+    done, stalled (no 10% residual reduction in `stall_limit` iters at
+    its f32 floor), or out of budget.
+
+    Returns CGResult with per-segment residual_norm / iterations /
+    converged / failed arrays of shape (n_seg,)."""
+    if accept_tol is None:
+        accept_tol = tol * 100.0
+    stall_limit = 180
+    dtype = b.dtype
+    free = free_mask.astype(dtype)
+    bm = b * free
+    ndof = b.shape[0]
+    Ns = ndof // (2 * n_seg)
+
+    def sdot(u, v):
+        return (u * v).reshape(2, n_seg, Ns).sum(axis=(0, 2))
+
+    def expand(s):  # (n_seg,) -> (ndof,)
+        return jnp.broadcast_to(
+            s[None, :, None], (2, n_seg, Ns)
+        ).reshape(-1)
+
+    inv_diag = free / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+
+    def A(u):
+        return operator(u * free) * free
+
+    if precondition is None:
+
+        def precondition(r):
+            return inv_diag * r
+
+    b_norm = jnp.sqrt(sdot(bm, bm))
+    b_norm = jnp.where(b_norm > 0, b_norm, 1.0)
+    atol2 = (tol * b_norm) ** 2
+
+    def running_of(state):
+        x, r, p, rz, k, best_r2, stall, active = state
+        r2 = sdot(r, r)
+        return (
+            (r2 > atol2)
+            & jnp.isfinite(r2)
+            & (stall < stall_limit)
+            & active
+        )
+
+    def cond(state):
+        k = state[4]
+        return jnp.any(running_of(state)) & (k < max_iters)
+
+    def body(state):
+        x, r, p, rz, k, best_r2, stall, active = state
+        run = running_of(state)
+        m = expand(run.astype(dtype))
+        Ap = A(p)
+        pAp = sdot(p, Ap)
+        alpha = jnp.where(run, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + expand(alpha) * p
+        r = r - expand(alpha) * Ap
+        z = precondition(r)
+        rz_new = sdot(r, z)
+        beta = jnp.where(run, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = jnp.where(m > 0, z + expand(beta) * p, p)
+        rz = jnp.where(run, rz_new, rz)
+        r2 = sdot(r, r)
+        improved = run & (r2 < 0.9 * best_r2)
+        best_r2 = jnp.where(improved, r2, best_r2)
+        stall = jnp.where(improved, 0, jnp.where(run, stall + 1, stall))
+        return (x, r, p, rz, k + 1, best_r2, stall, active)
+
+    x = jnp.zeros_like(bm) if x0 is None else x0 * free
+    total_iters = jnp.zeros((n_seg,), jnp.int32)
+    active = jnp.ones((n_seg,), bool)
+    for _ in range(max(restarts, 1)):
+        r = bm - A(x)
+        z = precondition(r)
+        rz = sdot(r, z)
+        healthy = jnp.isfinite(rz)
+        hm = expand(healthy.astype(dtype))
+        x = jnp.where(hm > 0, x, 0.0)
+        r = jnp.where(hm > 0, r, bm)
+        z = jnp.where(hm > 0, z, precondition(bm))
+        rz = jnp.where(healthy, rz, sdot(r, precondition(r)))
+        r2_start = sdot(r, r)
+        k0 = jnp.array(0)
+        state = (x, r, z, rz, k0, r2_start, jnp.zeros((n_seg,), jnp.int32), active)
+        x, r, p, rz, k, _, _, _ = jax.lax.while_loop(cond, body, state)
+        # per-segment iteration count: segments that finished early kept
+        # their stall/convergence state; attribute the loop's k to every
+        # segment that was active this restart (upper bound per segment,
+        # exact for the lockstep cost the device actually paid)
+        total_iters = total_iters + jnp.where(active, k, 0).astype(jnp.int32)
+        r2_end = sdot(r, r)
+        active = active & (r2_end < 0.9 * r2_start)
+
+    rtrue = bm - A(x)
+    rnorm = jnp.sqrt(sdot(rtrue, rtrue)) / b_norm
+    finite_x = ~jnp.any(
+        ~jnp.isfinite(x).reshape(2, n_seg, Ns), axis=(0, 2)
+    )
+    failed = ~jnp.isfinite(rnorm) | ~finite_x
+    converged = (rnorm <= accept_tol) & ~failed
+    return CGResult(
+        x=x * free,
+        residual_norm=rnorm,
+        iterations=total_iters,
+        converged=converged,
+        failed=failed,
+    )
+
+
 def extract_diagonal(Ke, triangles, n_nodes):
     """Diagonal of assembled K from element blocks (for Jacobi).
 

@@ -355,3 +355,50 @@ def test_batched_continuation_end_to_end(tmp_path, monkeypatch):
             u1 = read_vtk(os.path.join(cdir, "domain.1.vtk"))["u"]
             assert np.isfinite(u1).all()
             assert np.abs(u1).max() > 0
+
+
+def test_flat_chunk_kernel_matches_vmapped(monkeypatch):
+    """The flat super-mesh chunk kernel (fem/flatgroup.py: plates folded
+    into one block-diagonal system, segmented CG) must match the
+    two-level vmapped kernel on the same plate group — same contract,
+    different lowering."""
+    from fea_tpu.datagen.batched import PlateSolver, solve_plate_group
+    from fea_tpu.datagen.conditions import ConditionSampler
+
+    sampler = ConditionSampler(random_seed=7)
+    payloads = []
+    for ms in (0.14, 0.145, 0.15):
+        mesh = triangulate(UNIT_SQUARE, mesh_size=ms)
+        solver = PlateSolver(mesh, num_steps=2)
+        problems = []
+        for _ in range(60):
+            p = solver.build_problem(sampler.sample_one(mesh))
+            if not p.structurally_singular():
+                problems.append(p)
+            if len(problems) == 2:
+                break
+        assert len(problems) == 2
+        payloads.append((solver, problems))
+    assert len({s.shape_key for s, _ in payloads}) == 1
+
+    monkeypatch.setenv("FEA_TPU_FLAT_CHUNK", "0")
+    base = solve_plate_group(payloads)
+    monkeypatch.setenv("FEA_TPU_FLAT_CHUNK", "1")
+    flat = solve_plate_group(payloads)
+
+    compared = 0
+    for b_plate, f_plate in zip(base, flat):
+        for b, f in zip(b_plate, f_plate):
+            if not (b.success and f.success):
+                continue
+            bu = np.asarray(b.displacements)
+            fu = np.asarray(f.displacements)
+            assert bu.shape == fu.shape
+            scale = max(np.abs(bu).max(), 1e-12)
+            assert np.abs(bu - fu).max() / scale < 1e-4
+            # cell fields ride the same packed rows — check strain too
+            bs, fs = np.asarray(b.strain), np.asarray(f.strain)
+            sscale = max(np.abs(bs).max(), 1e-12)
+            assert np.abs(bs - fs).max() / sscale < 1e-3
+            compared += 1
+    assert compared >= 4, f"only {compared} mutually-converged lanes"
