@@ -161,6 +161,7 @@ def main():
     # tiny in-memory dataset feeds the real jitted train step; timing
     # excludes compile (first step) and blocks on the final state.
     train_steps_per_s = None
+    train_steps_per_s_bf16 = None
     train_flops = None
     train_mfu = None
     try:
@@ -208,6 +209,28 @@ def main():
         jax.block_until_ready(state.params)
         train_steps_per_s = n_timed / (time.time() - t0)
         log(f"train steps/s: {train_steps_per_s:.3f}")
+
+        # bf16 mixed-precision variant (compute_dtype: bf16 MXU compute,
+        # f32 master weights) — the TPU-first train-step experiment
+        try:
+            cfg16 = TrainerConfig(**{
+                **cfg.__dict__, "compute_dtype": "bfloat16",
+                "results_folder": cfg.results_folder + "_bf16",
+            })
+            tr16 = Trainer(cfg16, dataset=ds, sample_dataset=ds)
+            b16 = tr16._fetch_batch(0)
+            s16 = tr16.state
+            s16, _ = tr16._train_step(s16, b16)
+            jax.block_until_ready(s16.params)
+            t0 = time.time()
+            for _ in range(n_timed):
+                s16, _ = tr16._train_step(s16, b16)
+            jax.block_until_ready(s16.params)
+            train_steps_per_s_bf16 = n_timed / (time.time() - t0)
+            log(f"train steps/s (bf16 compute): {train_steps_per_s_bf16:.3f}")
+        except Exception as e:
+            log(f"bf16 train bench failed: {e}")
+            train_steps_per_s_bf16 = None
         if train_flops:
             kind = jax.devices()[0].device_kind.lower()
             peaks = {  # bf16 dense peak per chip, FLOP/s
@@ -241,6 +264,9 @@ def main():
         "lane_dispatches": stats.get("lane_dispatches"),
         "train_steps_per_s_256px_b16": (
             round(train_steps_per_s, 3) if train_steps_per_s else None
+        ),
+        "train_steps_per_s_256px_b16_bf16": (
+            round(train_steps_per_s_bf16, 3) if train_steps_per_s_bf16 else None
         ),
         "train_step_tflop": (
             round(train_flops / 1e12, 2) if train_flops else None

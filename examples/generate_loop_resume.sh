@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Crash-resilient datagen driver. The tunneled device plugin leaks
+# transferred HBM buffers (per-solver tables, per-chunk condition
+# arrays), so multi-thousand-plate runs exhaust the 16 GB chip after
+# ~2000+ plates (~700 before the device-side band plan moved in-kernel).
+# Plates already written are never redone: each attempt resumes at
+# --start_plate = (#written + 1) with a fresh seed (the geometry stream
+# is seed-sequential, so reusing the seed would regenerate duplicates).
+# The persistent compile cache makes restarts cost ~2-3 min.
+#
+# Usage: DATA=runs3/train_data PLATES=4000 SEED=300 \
+#        bash examples/generate_loop_resume.sh
+set -u
+
+DATA=${DATA:-runs3/train_data}
+PLATES=${PLATES:-4000}
+SEED=${SEED:-300}
+BS=${BS:-8}
+
+for attempt in $(seq 0 40); do
+  done_now=$(ls "$DATA" 2>/dev/null | grep -c '^[0-9]*$' || true)
+  remaining=$((PLATES - done_now))
+  [ "$remaining" -le 0 ] && exit 0
+  echo "ATTEMPT $attempt: $done_now written, $remaining to go"
+  python -m fea_tpu generate --batched --batch_size "$BS" \
+    --num_plates "$remaining" --start_plate $((done_now + 1)) \
+    --conditions_per_plate 4 --steps_per_condition 6 \
+    --mesh_size 1e-2 --image_size 512 --save_displacement \
+    --data_dir "$DATA" --seed $((SEED + attempt))
+  rc=$?
+  echo "ATTEMPT $attempt EXIT $rc"
+  [ $rc -eq 0 ] && exit 0
+  sleep 15
+done
+exit 1

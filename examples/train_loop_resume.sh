@@ -7,7 +7,8 @@
 # milestone per crash. Harmless on healthy runtimes (single iteration).
 #
 # Usage: DATA=runs/train_data EVAL=runs/eval_data RES=runs/results \
-#        STEPS=10000 bash examples/train_loop_resume.sh
+#        STEPS=10000 [STORE=runs/store256] [DTYPE=bfloat16] [EMA=1] \
+#        bash examples/train_loop_resume.sh
 set -u
 
 DATA=${DATA:-runs/train_data}
@@ -16,12 +17,23 @@ RES=${RES:-runs/results}
 STEPS=${STEPS:-10000}
 BS=${BS:-16}
 
-resume=()
+extra=()
+# decoded-on-disk condition store (build with `fea_tpu store`): feeds
+# production-scale datasets at device speed
+[ -n "${STORE:-}" ] && extra+=(--dataset_store "$STORE")
+# bf16 MXU compute with f32 master weights
+[ -n "${DTYPE:-}" ] && extra+=(--compute_dtype "$DTYPE")
+# track EMA weights (the reference notebooks sample through EMA)
+[ -n "${EMA:-}" ] && extra+=(--use_ema_model)
+
 if [ -d "$RES/model-latest" ] || [ -d "$RES/model-best" ]; then
-  resume=(--checkpoint auto)
+  extra+=(--checkpoint auto)
+  resumed=1
+else
+  resumed=0
 fi
 
-for attempt in $(seq 1 10); do
+for attempt in $(seq 1 40); do
   python -m fea_tpu train \
     --data_dir "$DATA" --sample_data_dir "$EVAL" \
     --image_size 256 --batch_size "$BS" --num_steps "$STEPS" \
@@ -29,11 +41,11 @@ for attempt in $(seq 1 10); do
     --conditions_per_plate 4 --num_steps_per_condition 6 \
     --num_steps_per_sample_condition 6 --num_sample_conditions_per_plate 1 \
     --skip_dataset_size_check \
-    --results_dir "$RES" "${resume[@]}"
+    --results_dir "$RES" "${extra[@]}"
   rc=$?
   echo "ATTEMPT $attempt EXIT $rc"
   [ $rc -eq 0 ] && exit 0
-  resume=(--checkpoint auto)
+  if [ "$resumed" = 0 ]; then extra+=(--checkpoint auto); resumed=1; fi
   sleep 20
 done
 exit 1

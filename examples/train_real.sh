@@ -1,30 +1,34 @@
 #!/usr/bin/env bash
-# Round-2 "prove it learns" run (VERDICT.md #4): generate a real dataset,
-# train the flagship FDN-UNet at the reference's training config
-# (image 256, batch 16, lr 3e-4 — reference train_model.py:41-59), then
-# score surrogate MAE with the accuracy CLI (reference bar: 0.0144,
-# reference README.md:10, on 100k samples / 10k steps).
+# Round-3 production pipeline (VERDICT.md r2 #1): generate the full
+# production dataset in-framework, build the decoded-on-disk condition
+# store, train the flagship FDN-UNet 10k steps with EMA, then score
+# surrogate MAE with the accuracy CLI both raw and through EMA.
+# Reference bar: MAE 0.0144 on 100k samples (reference README.md:10);
+# reference production datagen config: 2500 plates x 4 conditions x
+# 6 steps at 512px (generate_data_GT.sh:1-10).
 #
-# Scaled-down by default (400 train + 16 eval plates ~= 8k train samples);
-# override via env: PLATES=2500 STEPS=10000 bash examples/train_real.sh
+# Scaled-up round-3 defaults: 4000 plates (~80k samples). Override via
+# env: PLATES=400 STEPS=2000 bash examples/train_real.sh
 set -euo pipefail
 
-PLATES=${PLATES:-400}
+PLATES=${PLATES:-4000}
 EVAL_PLATES=${EVAL_PLATES:-16}
 STEPS=${STEPS:-10000}
 BS=${BS:-16}
-ROOT=${ROOT:-runs}
+ROOT=${ROOT:-runs3}
+DTYPE=${DTYPE:-bfloat16}
 DATA=$ROOT/train_data
+STORE=$ROOT/store256
 EVAL=$ROOT/eval_data
 RES=$ROOT/results
 
 mkdir -p "$ROOT"
 
 if [ ! -f "$DATA/.done" ]; then
-  python -m fea_tpu generate --batched --batch_size 8 \
-    --num_plates "$PLATES" --conditions_per_plate 4 --steps_per_condition 6 \
-    --mesh_size 1e-2 --image_size 512 --save_displacement \
-    --data_dir "$DATA" --seed 100
+  # crash-resilient loop: the tunnel plugin leaks transferred HBM
+  # buffers over multi-thousand-plate runs (see generate_loop_resume.sh)
+  DATA="$DATA" PLATES="$PLATES" SEED=300 \
+    bash "$(dirname "$0")/generate_loop_resume.sh"
   touch "$DATA/.done"
 fi
 
@@ -38,20 +42,29 @@ if [ ! -f "$EVAL/.done" ]; then
   touch "$EVAL/.done"
 fi
 
-# Crash-resilient loop (the tunneled runtime OOM-kills long runs; see
-# train_loop_resume.sh). Produces model-best/model-latest/model-final.
+# Decoded-on-disk condition store: ~460 KB/condition, feeds training at
+# device speed at any dataset scale (the RAM cache tops out ~20k samples).
+python -m fea_tpu store --data_dir "$DATA" --store_dir "$STORE" \
+  --num_plates "$PLATES" --image_size 256 \
+  --conditions_per_plate 4 --steps_per_condition 6
+
 DATA="$DATA" EVAL="$EVAL" RES="$RES" STEPS="$STEPS" BS="$BS" \
+  STORE="$STORE" DTYPE="$DTYPE" EMA=1 \
   bash "$(dirname "$0")/train_loop_resume.sh"
 
-# Render the best checkpoint's predictions for every eval sample, then
-# score them against the domain.N.vtk ground truth.
-python -m fea_tpu sample --milestone best \
-  --data_dir "$DATA" --sample_data_dir "$EVAL" \
-  --image_size 256 --batch_size "$BS" \
-  --num_steps_per_condition 6 --num_sample_conditions_per_plate 4 \
-  --results_dir "$RES"
+# Score the best checkpoint raw and through the EMA weights; keep the
+# winner (the reference notebooks sample through ema_pytorch.EMA,
+# generateapplication.ipynb cell 16).
+for ema_flag in "" "--use_ema"; do
+  python -m fea_tpu sample --milestone best \
+    --data_dir "$DATA" --sample_data_dir "$EVAL" \
+    --image_size 256 --batch_size "$BS" \
+    --num_steps_per_condition 6 --num_sample_conditions_per_plate 4 \
+    --results_dir "$RES" $ema_flag
 
-python -m fea_tpu accuracy \
-  --data_dir "$EVAL" --results_dir "$RES" --milestone best \
-  --image_size 256 --num_plates "$EVAL_PLATES" --conditions_per_plate 4 \
-  --steps_per_condition 6
+  echo "=== accuracy ${ema_flag:-raw} ==="
+  python -m fea_tpu accuracy \
+    --data_dir "$EVAL" --results_dir "$RES" --milestone best \
+    --image_size 256 --num_plates "$EVAL_PLATES" --conditions_per_plate 4 \
+    --steps_per_condition 6
+done

@@ -119,6 +119,11 @@ def _add_train(sub):
                    help="Keep decoded samples in RAM (~2 MB each at "
                         "256px). Default: auto (on when the dataset has "
                         "<= 20k samples).")
+    p.add_argument("--dataset_store", type=str, default=None,
+                   help="decoded-on-disk condition store built with "
+                        "`fea_tpu store`; feeds production-scale datasets "
+                        "at device speed (overrides --data_dir for the "
+                        "train set)")
     p.add_argument("--no_cache_dataset", dest="cache_dataset",
                    action="store_false", help=argparse.SUPPRESS)
     p.add_argument("--num_gradient_accumulation_steps", type=int, default=1)
@@ -130,6 +135,10 @@ def _add_train(sub):
     p.add_argument("--disable_auxiliary", action="store_true", default=None)
     p.add_argument("--only_auxiliary", action="store_true")
     p.add_argument("--use_ema_model", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="bfloat16 = mixed precision: bf16 MXU compute, "
+                        "f32 master weights (no loss scaling needed)")
     p.add_argument("--no_progress_bar", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default=None)
@@ -159,11 +168,16 @@ def _cmd_train(args):
         results_folder=args.results_dir,
         skip_dataset_size_check=args.skip_dataset_size_check,
         cache_datasets=args.cache_dataset,
+        dataset_store=args.dataset_store,
         disable_auxiliary=(
             True if args.disable_auxiliary is None else args.disable_auxiliary
         ),
         only_auxiliary=args.only_auxiliary,
         use_ema=args.use_ema_model,
+        compute_dtype=(
+            None if args.compute_dtype in (None, "float32")
+            else args.compute_dtype
+        ),
         progress_bar=not args.no_progress_bar,
     )
     trainer = Trainer(config)
@@ -212,6 +226,39 @@ def _cmd_train(args):
                 wandb.log_artifact(artifact)
 
     trainer.train(wandb_inject_function=wandb_fn)
+
+
+def _add_store(sub):
+    p = sub.add_parser(
+        "store",
+        help="Build the decoded-on-disk condition store for a generated "
+             "dataset (resumable; can trail a running datagen via "
+             "--follow_pid).",
+    )
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--store_dir", type=str, required=True)
+    p.add_argument("--num_plates", type=int, required=True)
+    p.add_argument("--image_size", type=int, default=256,
+                   help="training-time image size (the store holds "
+                        "pre-resized grids)")
+    p.add_argument("--conditions_per_plate", type=int, default=4)
+    p.add_argument("--steps_per_condition", type=int, default=6)
+    p.add_argument("--follow_pid", type=int, default=None)
+
+
+def _cmd_store(args):
+    from .data.store import build_condition_store
+
+    build_condition_store(
+        args.data_dir,
+        args.store_dir,
+        num_plates=args.num_plates,
+        image_size=args.image_size,
+        conditions_per_plate=args.conditions_per_plate,
+        num_steps=args.steps_per_condition,
+        follow_pid=args.follow_pid,
+        verbose=True,
+    )
 
 
 def _add_train_diffusion(sub):
@@ -364,6 +411,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
     _add_generate(sub)
     _add_train(sub)
+    _add_store(sub)
     _add_train_diffusion(sub)
     _add_sample(sub)
     _add_accuracy(sub)
@@ -372,6 +420,7 @@ def main(argv=None):
     {
         "generate": _cmd_generate,
         "train": _cmd_train,
+        "store": _cmd_store,
         "train-diffusion": _cmd_train_diffusion,
         "sample": _cmd_sample,
         "accuracy": _cmd_accuracy,

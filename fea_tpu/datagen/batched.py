@@ -20,7 +20,6 @@ from functools import partial
 
 from ..fem.assembly import build_incidence
 from ..fem.banded import (
-    band_assembly_indices,
     quantize_hb,
     rcm_permutation,
 )
@@ -50,6 +49,19 @@ def _use_banded() -> bool:
     import os
 
     return os.environ.get("FEA_TPU_BANDED", "1") != "0"
+
+
+# Hard cap on the banded half-bandwidth. The band buffer is
+# n_dofs x (2*hb + BAND_R) floats PER LANE (fem/banded.py): at the
+# production node bucket (8192) that is ~42 MB/lane at hb 256 but
+# ~277 MB/lane at the old node_bucket//4 bound (2048) — one
+# high-bandwidth outlier mesh ratcheting `RunningBuckets.band` up was
+# enough to OOM a 16 GB chip with 3 chunks in flight (observed at plate
+# ~843 of the first 4000-plate production run). Typical RCM dof
+# half-bandwidths at mesh_size 1e-2 are 105-239; capped plates ride
+# dedicated incidence-operator chunks instead (see dispatch_chunk's
+# band-class grouping).
+BAND_HB_CAP = 384
 
 
 @partial(
@@ -263,7 +275,7 @@ class PlateSolver:
         if band_hb >= 0 and _use_banded() and self.dtype == jnp.float32:
             perm_r, hb_nat = rcm_permutation(mesh.triangles, self.n)
             hb = max(quantize_hb(hb_nat), band_hb)
-            if hb <= self.node_bucket // 4:
+            if hb <= min(self.node_bucket // 4, BAND_HB_CAP):
                 perm = np.arange(self.node_bucket, dtype=np.int64)
                 perm[: self.n] = perm_r
                 inv = np.argsort(perm)
@@ -272,15 +284,12 @@ class PlateSolver:
                 self._unperm = inv
                 coords_s = coords_s[perm]
                 tris_s = inv[tris_s].astype(np.int64)
-                # padding (ghost) triangles have Ke == 0 exactly (E=0),
-                # but their node ids span the whole ghost ring — route
-                # their zero contributions to node 0 so they never widen
-                # the band
-                tris_band = tris_s.copy()
-                tris_band[self.m :] = 0
-                self.band_idx_dev = jnp.asarray(
-                    band_assembly_indices(tris_band, self.node_bucket, hb)
-                )
+                # The band scatter plan is computed ON DEVICE from the
+                # (already device-resident) triangle table at dispatch
+                # (fem/banded.band_assembly_indices_dev; ghost padding
+                # triangles are routed to node 0 there since their Ke is
+                # exactly zero) — uploading the (36, Mb) plan per solver
+                # leaked ~3.4 MB/plate of HBM through the tunnel plugin.
 
         self._padded_triangles = tris_s
         incidence = build_incidence(
@@ -510,11 +519,13 @@ def dispatch_plate_group(
         # per-plate reductions into cross-device collectives).
         from ..fem.flatgroup import solve_flat_group_kernel
 
-        band_idx_p = None
+        m_real_p = None
         if band_hb > 0:
-            band_idx_p = jnp.stack([s.band_idx_dev for s, _ in payloads])
+            m_real_p = jnp.asarray(
+                [s.m for s, _ in payloads], dtype=jnp.int32
+            )
         return solve_flat_group_kernel(
-            *args, band_idx_p=band_idx_p, band_hb=band_hb, **kw
+            *args, m_real_p=m_real_p, band_hb=band_hb, **kw
         )
     return _solve_multi_plate_kernel(*args, **kw)
 
@@ -587,6 +598,18 @@ class RunningBuckets:
         self.tri = 0
         self.degree = 0
         self.band = 0
+        # FEA_TPU_BUCKET_FLOOR="node,tri,degree,band" pre-ratchets the
+        # buckets (e.g. to a previous run's final values, printed by the
+        # hbm telemetry line) so a long run compiles its production
+        # shapes once up front instead of recompiling mid-run while
+        # earlier-shape chunks still hold device buffers — the
+        # fragmentation spike suspected in the production OOMs.
+        import os
+
+        floor = os.environ.get("FEA_TPU_BUCKET_FLOOR")
+        if floor:
+            vals = [int(v) for v in floor.split(",")]
+            self.node, self.tri, self.degree, self.band = vals
 
     def update(self, meshes) -> None:
         for mesh in meshes:
@@ -630,11 +653,12 @@ class _PlateJob:
 
     __slots__ = (
         "mesh", "solver", "pixel_map", "pairs", "results", "retries", "pool",
-        "warm", "cont", "last_rnorm",
+        "warm", "cont", "last_rnorm", "band_hint",
     )
 
     def __init__(self, mesh, pairs, pool):
         self.mesh = mesh
+        self.band_hint: Optional[int] = None  # quantized hb, 0 = capped out
         self.solver: Optional[PlateSolver] = None
         self.pixel_map = None
         self.pairs = pairs  # [(condition, problem)] per slot
@@ -845,24 +869,37 @@ def generate_data_batched(
             if ok:
                 return _PlateJob(mesh, pairs, pool)
 
+    def band_class(job: _PlateJob) -> int:
+        """Quantized banded half-bandwidth of the job's mesh (0 = over
+        BAND_HB_CAP, i.e. must use the incidence operator). Cached —
+        the dispatcher groups chunks by this class so a capped outlier
+        never forces banding off for the whole run."""
+        if job.band_hint is None:
+            if job.solver is not None:
+                job.band_hint = job.solver.band_hb
+            elif not _use_banded():
+                job.band_hint = 0
+            else:
+                _, hb_nat = rcm_permutation(
+                    np.asarray(job.mesh.triangles), job.mesh.num_nodes
+                )
+                hb = quantize_hb(hb_nat)
+                job.band_hint = hb if hb <= BAND_HB_CAP else 0
+        return job.band_hint
+
     def ensure_solver(job: _PlateJob) -> None:
         """(Re)build the job's solver at the CURRENT running buckets, so
         every payload of a dispatch shares one shape key (one compiled
         kernel, one fetch)."""
         key = (buckets.node, buckets.tri)
+        want_band = buckets.band >= 0 and band_class(job) > 0
         if (
             job.solver is not None
             and job.solver.node_bucket == key[0]
             and job.solver.tri_bucket == key[1]
             and job.solver.slots_dev.shape[1] >= buckets.degree
-            and (
-                job.solver.band_hb == 0
-                if buckets.band < 0
-                else (
-                    job.solver.band_hb == 0
-                    or job.solver.band_hb >= buckets.band
-                )
-            )
+            and (job.solver.band_hb > 0) == want_band
+            and (not want_band or job.solver.band_hb >= buckets.band)
         ):
             return
         with stages.stage("solver_build"):
@@ -872,11 +909,12 @@ def generate_data_batched(
                 node_bucket=buckets.node,
                 tri_bucket=buckets.tri,
                 min_incidence_degree=buckets.degree,
-                band_hb=buckets.band,
+                band_hb=buckets.band if want_band else -1,
                 include_cell_fields=include_cell_fields,
                 max_iters=ITERS_PER_DISPATCH,
                 restarts=RESTARTS_PER_DISPATCH,
             )
+            job.band_hint = job.solver.band_hb
 
     def write_job(job: _PlateJob, plate_number: int) -> None:
         with stages.stage("pixel_map"):
@@ -965,7 +1003,19 @@ def generate_data_batched(
     def dispatch_chunk():
         """Assemble one chunk from `ready` and dispatch it (async); the
         packed-result conversion is handed to the fetch thread."""
-        jobs = [ready.popleft() for _ in range(min(group_size, len(ready)))]
+        # one chunk = one band class: a capped (hb > BAND_HB_CAP) plate
+        # rides a dedicated incidence-operator chunk instead of forcing
+        # banding off (or the band buffer up) for everyone else
+        want = band_class(ready[0]) > 0
+        jobs, skipped = [], []
+        while ready and len(jobs) < group_size:
+            j = ready.popleft()
+            if (band_class(j) > 0) == want:
+                jobs.append(j)
+            else:
+                skipped.append(j)
+        for j in reversed(skipped):
+            ready.appendleft(j)  # other class dispatches next
         buckets.update(j.mesh for j in jobs)
         for job in jobs:
             ensure_solver(job)
@@ -977,9 +1027,8 @@ def generate_data_batched(
         hbs = [j.solver.band_hb for j in jobs]
         if buckets.band >= 0:
             if 0 in hbs and max(hbs) > 0:
-                # one plate capped out of banding — a chunk can't mix
-                # operators, so disable banding for the rest of the run
-                # (monotone, like every other bucket decision)
+                # mixed chunk should be impossible now (class grouping);
+                # keep the monotone run-wide fallback as a safety net
                 buckets.band = -1
                 for job in jobs:
                     ensure_solver(job)
@@ -1016,6 +1065,24 @@ def generate_data_batched(
             future = fetcher.submit(_fetch_task, token)
         stats["lane_dispatches"] += sum(len(i) for i in pendings)
         flights.append((t0, future, payloads, jobs, pendings))
+        # HBM telemetry: the first 4000-plate production run died twice to
+        # RESOURCE_EXHAUSTED around ~1000 cumulative plates; log the
+        # device allocator curve so growth/fragmentation is attributable
+        # from the run log (one cheap rpc every 10 chunks).
+        stats["chunks"] = stats.get("chunks", 0) + 1
+        if verbose and stats["chunks"] % 10 == 1:
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                print(
+                    f"hbm: in_use={ms.get('bytes_in_use', -1) / 1e9:.2f}GB "
+                    f"peak={ms.get('peak_bytes_in_use', -1) / 1e9:.2f}GB "
+                    f"limit={ms.get('bytes_limit', -1) / 1e9:.2f}GB "
+                    f"(chunk {stats['chunks']}, band={buckets.band}, "
+                    f"node={buckets.node})",
+                    flush=True,
+                )
+            except Exception:
+                pass
 
     def drain_writes(limit: Optional[int] = None):
         nonlocal plate_seq, written
@@ -1190,8 +1257,15 @@ def generate_data_batched(
             busy += e - end
             end = e
     stats["device_busy_s"] = busy
+    stats["final_buckets"] = (
+        buckets.node, buckets.tri, buckets.degree, buckets.band
+    )
     if verbose:
         print("TOTAL TIME:", timer() - run_start)
+        print(
+            "final buckets (FEA_TPU_BUCKET_FLOOR):",
+            ",".join(str(v) for v in stats["final_buckets"]),
+        )
         print(stages.summary())
     stats["stage_seconds"] = stages.as_dict()
     return stats

@@ -107,6 +107,33 @@ def band_assembly_indices(
     ).astype(np.int32)
 
 
+def band_assembly_indices_dev(triangles, m_real, hb: int):
+    """Device-side band scatter plan: jnp twin of `band_assembly_indices`
+    for the flat chunk kernel.
+
+    The plan is a pure function of (triangles, hb), and triangles already
+    live on device — computing the (36, Mb) index table in-kernel avoids
+    uploading ~3.4 MB per solver + ~28 MB per chunk through the tunnel
+    (whose plugin leaks transferred buffers; see datagen/batched.py HBM
+    notes). `m_real` masks ghost padding triangles to node 0 (their Ke is
+    exactly zero). No host-side validation here: PlateSolver guarantees
+    hb >= the RCM bandwidth of the real triangles by construction."""
+    Mb = triangles.shape[0]
+    tri = jnp.where(
+        jnp.arange(Mb, dtype=jnp.int32)[:, None] < m_real,
+        triangles.astype(jnp.int32),
+        0,
+    )
+    k = jnp.arange(6, dtype=jnp.int32)
+    dof = 2 * tri[:, k // 2] + (k % 2)  # (Mb, 6)
+    i = dof[:, :, None]
+    j = dof[:, None, :]
+    W = 2 * hb + BAND_R
+    c = j - (i // BAND_R) * BAND_R + hb
+    flat = i * W + c  # (Mb, 6, 6)
+    return flat.transpose(1, 2, 0).reshape(36, Mb)
+
+
 def assemble_band(Ke, band_idx, n_dofs: int, hb: int):
     """Scatter-add the element blocks into the block-shifted band.
 

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from .assembly import apply_element_stiffness_planar, element_dof_indices
 from .banded import (
     assemble_band,
+    band_assembly_indices_dev,
     banded_matvec,
     interleaved_to_planar,
     planar_to_interleaved,
@@ -188,7 +189,7 @@ def solve_flat_group_kernel(
     free_pc,  # (P, C, Nb)
     loads_pc,  # (P, C, Nb, 2)
     x0_pc,  # (P, C, Nb, 2)
-    band_idx_p=None,  # (P, 36, Mb) int32 band scatter plan (banded solvers)
+    m_real_p=None,  # (P,) int32 real-triangle counts (banded solvers)
     *,
     n_coarse: int,
     tol: float,
@@ -215,12 +216,17 @@ def solve_flat_group_kernel(
     band_idx = None
     win_idx = None
     if band_hb > 0:
-        # per-plate band indices address a (2*Nb*W,) plate-local buffer;
-        # offset by each plate's row block (rows are plate-contiguous in
-        # the interleaved flat dof order, so the flat system's band is
-        # the block-diagonal stack of the per-plate bands)
+        # per-plate band indices (computed in-kernel from the triangle
+        # tables already on device — nothing extra crosses the tunnel)
+        # address a (2*Nb*W,) plate-local buffer; offset by each plate's
+        # row block (rows are plate-contiguous in the interleaved flat
+        # dof order, so the flat system's band is the block-diagonal
+        # stack of the per-plate bands)
         Wband = 2 * band_hb + 128
         p_ids = jnp.arange(P, dtype=jnp.int32)
+        band_idx_p = jax.vmap(
+            lambda t, m: band_assembly_indices_dev(t, m, band_hb)
+        )(triangles_p, m_real_p)  # (P, 36, Mb)
         band_idx = (
             band_idx_p + (p_ids * (2 * Nb * Wband))[:, None, None]
         ).transpose(1, 0, 2).reshape(36, PM)

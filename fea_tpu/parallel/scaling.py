@@ -1,0 +1,163 @@
+"""Multi-chip scaling efficiency measurement for the datagen surface.
+
+The 8-device correctness of the sharded plate-group solve is established
+by tests/test_datagen.py::test_solve_plate_group_sharded_over_mesh and
+the driver's `dryrun_multichip`. This module measures its *efficiency*:
+at FIXED total work (same plates, same conditions, same iteration
+budget), how much more total device time does the dp-sharded program
+spend than the single-device program?
+
+On the virtual n-device CPU mesh every "device" shares the host cores,
+so wall time ~= summed device time and
+
+    efficiency = t_unsharded / t_sharded
+
+directly exposes sharding overhead (plate-axis padding, partitioning,
+collective scheduling) — 1.0 means the sharded program does no extra
+work; real-chip speedup is then n_devices x efficiency assuming ICI
+latency stays subdominant (the plate-group program has NO cross-device
+collectives in its hot loop: lanes are independent, so the only
+communication is the initial shard scatter and final gather).
+
+Both runs use the two-level vmapped chunk kernel (the sharded path's
+kernel) so the ratio isolates sharding, not kernel choice.
+"""
+
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def measure_sharding_efficiency(
+    n_devices: int,
+    plates_per_device: int = 1,
+    conditions_per_plate: int = 2,
+    mesh_size: float = 0.1,
+    repeats: int = 2,
+) -> Dict:
+    """Returns {'t_unsharded_s', 't_sharded_s', 'efficiency',
+    'lanes_per_device', ...}. Requires >= n_devices jax devices."""
+    prev_flat = os.environ.get("FEA_TPU_FLAT_CHUNK")
+    os.environ["FEA_TPU_FLAT_CHUNK"] = "0"  # see module docstring
+    try:
+        return _measure(
+            n_devices, plates_per_device, conditions_per_plate, mesh_size,
+            repeats,
+        )
+    finally:
+        if prev_flat is None:
+            os.environ.pop("FEA_TPU_FLAT_CHUNK", None)
+        else:
+            os.environ["FEA_TPU_FLAT_CHUNK"] = prev_flat
+
+
+def _measure(
+    n_devices: int,
+    plates_per_device: int,
+    conditions_per_plate: int,
+    mesh_size: float,
+    repeats: int,
+) -> Dict:
+    import jax
+
+    from ..datagen.batched import PlateSolver, solve_plate_group
+    from ..datagen.conditions import ConditionSampler
+    from ..geometry import GeometrySampler
+    from ..mesh import triangulate_polygon
+    from .mesh import batch_sharding, make_mesh
+
+    assert len(jax.devices()) >= n_devices
+
+    from ..fem.problem import StaticProblem
+
+    n_plates = n_devices * plates_per_device
+    gs = GeometrySampler(random_seed=21)
+    cs = ConditionSampler(random_seed=22)
+    jobs = []
+    while len(jobs) < n_plates:
+        try:
+            poly = gs.generate()
+            mesh = triangulate_polygon(poly, mesh_size=mesh_size)
+            conds = cs.sample(mesh, conditions_per_plate)
+        except Exception:
+            continue
+        probs = [
+            StaticProblem.from_condition(
+                mesh,
+                material_regions=c["material_regions"],
+                point_constraints=c["point_constraints"],
+                edge_constraints=c["edge_constraints"],
+                point_forces=c["point_forces"],
+                edge_forces=c["edge_forces"],
+                num_steps=2,
+            )
+            for c in conds
+        ]
+        if any(p.structurally_singular() for p in probs):
+            continue
+        jobs.append((mesh, conds))
+
+    node_b = max(
+        PlateSolver(m, 2).node_bucket for m, _ in jobs
+    )
+    tri_b = max(PlateSolver(m, 2).tri_bucket for m, _ in jobs)
+    payloads = []
+    for mesh, conds in jobs:
+        solver = PlateSolver(
+            mesh, 2, node_bucket=node_b, tri_bucket=tri_b, band_hb=-1,
+            include_cell_fields=False,
+        )
+        probs = [solver.build_problem(c) for c in conds]
+        payloads.append((solver, probs))
+    wmax = max(s.slots_dev.shape[1] for s, _ in payloads)
+    payloads = [
+        (
+            PlateSolver(
+                m, 2, node_bucket=node_b, tri_bucket=tri_b,
+                min_incidence_degree=wmax, band_hb=-1,
+                include_cell_fields=False,
+            ),
+            probs,
+        )
+        for (m, _), (s, probs) in zip(jobs, payloads)
+    ]
+
+    mesh_nd = make_mesh(n_devices)
+    sharding = batch_sharding(mesh_nd)
+
+    def timed(shard):
+        best = float("inf")
+        for _ in range(repeats + 1):  # first run compiles
+            t0 = time.perf_counter()
+            out = solve_plate_group(
+                payloads, max_iters=600, sharding=shard,
+                pad_group_to=n_plates,
+            )
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+        return best, out
+
+    t_unsharded, out_u = timed(None)
+    t_sharded, out_s = timed(sharding)
+
+    # results must agree (same program, different placement)
+    for pu, ps in zip(out_u, out_s):
+        for ru, rs in zip(pu, ps):
+            assert bool(ru.success) == bool(rs.success)
+            if ru.success:
+                np.testing.assert_allclose(
+                    np.asarray(ru.displacements[-1]),
+                    np.asarray(rs.displacements[-1]),
+                    rtol=0, atol=1e-5,
+                )
+
+    return {
+        "n_devices": n_devices,
+        "plates": n_plates,
+        "lanes_per_device": plates_per_device * conditions_per_plate,
+        "t_unsharded_s": round(t_unsharded, 3),
+        "t_sharded_s": round(t_sharded, 3),
+        "efficiency": round(t_unsharded / t_sharded, 3),
+    }

@@ -85,10 +85,20 @@ class TrainerConfig:
     # None = auto: cache when the whole dataset fits comfortably
     # (<= 20k samples, ~40 GB at 256px); True/False force it.
     cache_datasets: Optional[bool] = None
+    # decoded-on-disk condition store (fea_tpu.data.store): feeds
+    # production-scale datasets at device speed where the RAM cache
+    # cannot hold them. Build with `fea_tpu store`.
+    dataset_store: Optional[str] = None
     n_devices: Optional[int] = None
     skip_dataset_size_check: bool = False
     inference_only: bool = False  # sampling CLI: no effective-batch floor
     param_dtype: Any = jnp.float32
+    # Mixed precision: 'bfloat16' runs the UNet compute (convs on the
+    # MXU) in bf16 with f32 master weights — params and inputs are cast
+    # at apply time, outputs cast back, so Adam/EMA/loss stay f32.
+    # bf16 shares f32's exponent range, so no loss scaling is needed.
+    # None = full f32 (the reference trains f32, model/diffusion.py).
+    compute_dtype: Optional[str] = None
 
 
 class Trainer:
@@ -115,13 +125,28 @@ class Trainer:
         )
 
         # Datasets
-        self.dataset = dataset if dataset is not None else FEADataset(
-            config.dataset_folder,
-            image_size=config.dataset_image_size,
-            conditions_per_plate=config.conditions_per_plate,
-            num_steps=config.num_steps_per_condition,
-            start_plate_index=config.train_start_plate_index,
-        )
+        if dataset is None and config.dataset_store is not None:
+            from ..data.store import StoredFEADataset
+
+            dataset = StoredFEADataset(
+                config.dataset_store,
+                start_plate_index=config.train_start_plate_index,
+            )
+            assert dataset.image_size == config.dataset_image_size
+            assert dataset.num_steps == config.num_steps_per_condition - 1
+            assert (
+                dataset.conditions_per_plate_geometry
+                == config.conditions_per_plate
+            )
+            self.dataset = dataset
+        else:
+            self.dataset = dataset if dataset is not None else FEADataset(
+                config.dataset_folder,
+                image_size=config.dataset_image_size,
+                conditions_per_plate=config.conditions_per_plate,
+                num_steps=config.num_steps_per_condition,
+                start_plate_index=config.train_start_plate_index,
+            )
         if dataset is None:
             cache = config.cache_datasets
             if cache is None:
@@ -255,24 +280,52 @@ class Trainer:
     # ------------------------------------------------------------ model fns
     def _apply_model(self, params, batch, use_ema: bool = False):
         """encoder -> (aux heads, decoder) with geometry masking
-        (reference sample_model, diffusion.py:786-822)."""
+        (reference sample_model, diffusion.py:786-822).
+
+        With config.compute_dtype='bfloat16', params and image inputs are
+        cast to bf16 here (differentiable casts: grads arrive back in
+        f32), the UNet runs on the MXU in bf16, and head outputs are cast
+        to f32 before masking/loss. flax GroupNorm computes its stats in
+        f32 regardless, so normalization is unaffected."""
         cfg = self.config
+        dt = (
+            jnp.dtype(cfg.compute_dtype)
+            if cfg.compute_dtype is not None
+            else None
+        )
+
+        def cast(tree):
+            if dt is None:
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
         conditions = jnp.concatenate(
             [batch["forces"], batch["constraints"]], axis=-1
         )
         x, hidden, residual = self.encoder.apply(
-            {"params": params["encoder"]}, batch["materials"], conditions
+            {"params": cast(params["encoder"])},
+            cast(batch["materials"]),
+            cast(conditions),
         )
         image_prediction = None
         range_prediction = None
         if not cfg.disable_auxiliary:
-            range_prediction = self.auxiliary.apply(
-                {"params": params["auxiliary"]}, x
+            sign_pred, log_pred = self.auxiliary.apply(
+                {"params": cast(params["auxiliary"])}, x
+            )
+            range_prediction = (
+                sign_pred.astype(jnp.float32),
+                log_pred.astype(jnp.float32),
             )
         if not cfg.only_auxiliary:
             image_prediction = self.decoder.apply(
-                {"params": params["decoder"]}, x, list(hidden), residual
-            )
+                {"params": cast(params["decoder"])}, x, list(hidden), residual
+            ).astype(jnp.float32)
             geometry01 = (batch["geometry"] + 1.0) / 2.0
             image_prediction = ((image_prediction + 1.0) / 2.0 * geometry01) * 2.0 - 1.0
         return image_prediction, range_prediction

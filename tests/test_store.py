@@ -1,0 +1,116 @@
+"""Condition-store parity: StoredFEADataset must reproduce FEADataset
+(the reference's FEADataset contract, model/diffusion.py:41-380)
+bit-exactly from the decoded-on-disk store."""
+
+import numpy as np
+import pytest
+
+from fea_tpu.data import FEADataset
+from fea_tpu.data.store import StoredFEADataset, build_condition_store
+from fea_tpu.datagen import generate_data
+
+
+@pytest.fixture(scope="module")
+def store_dataset(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("sdata"))
+    generate_data(
+        data_dir=data_dir,
+        image_size=96,
+        num_plates=2,
+        conditions_per_plate=2,
+        mesh_size=0.08,
+        num_steps_per_condition=4,
+        seed=11,
+        verbose=False,
+    )
+    store_dir = str(tmp_path_factory.mktemp("sstore"))
+    build_condition_store(
+        data_dir,
+        store_dir,
+        num_plates=2,
+        image_size=64,
+        conditions_per_plate=2,
+        num_steps=4,
+    )
+    return data_dir, store_dir
+
+
+def test_store_bit_exact_parity(store_dataset):
+    data_dir, store_dir = store_dataset
+    png = FEADataset(
+        data_dir, image_size=64, conditions_per_plate=2, num_steps=4
+    )
+    stored = StoredFEADataset(store_dir)
+    assert len(stored) == len(png) == 2 * 2 * 3
+    for i in range(len(png)):
+        a, b = png[i], stored[i]
+        assert set(a.keys()) == set(b.keys())
+        for k in a:
+            av, bv = np.asarray(a[k]), np.asarray(b[k])
+            assert av.dtype == bv.dtype, (k, av.dtype, bv.dtype)
+            assert av.shape == bv.shape, (k, av.shape, bv.shape)
+            assert np.array_equal(av, bv), (
+                i,
+                k,
+                float(np.abs(av.astype(np.float64) - bv).max()),
+            )
+
+
+def test_store_resume_is_idempotent(store_dataset):
+    data_dir, store_dir = store_dataset
+    # re-running the builder over a complete store is a no-op
+    build_condition_store(
+        data_dir, store_dir, num_plates=2, image_size=64,
+        conditions_per_plate=2, num_steps=4,
+    )
+    stored = StoredFEADataset(store_dir)
+    png = FEADataset(data_dir, image_size=64, conditions_per_plate=2, num_steps=4)
+    s, p = stored[3], png[3]
+    assert np.array_equal(s["forces"], p["forces"])
+
+
+def test_store_rejects_min_max_modes(store_dataset):
+    _, store_dir = store_dataset
+    with pytest.raises(AssertionError):
+        StoredFEADataset(store_dir, min_max_magnitude=(1, 1000))
+
+
+def test_trainer_with_store_and_bf16(store_dataset, tmp_path):
+    """Trainer feeds from the condition store (config.dataset_store), and
+    the bf16 mixed-precision path (compute_dtype='bfloat16': bf16 MXU
+    compute, f32 master weights) produces a loss close to the f32 one
+    from the same init."""
+    data_dir, store_dir = store_dataset
+    from fea_tpu.train import Trainer, TrainerConfig
+
+    losses = {}
+    for dtype in (None, "bfloat16"):
+        cfg = TrainerConfig(
+            dataset_folder=data_dir,
+            sample_dataset_folder=data_dir,
+            dataset_store=store_dir,
+            dataset_image_size=64,
+            train_batch_size=8,  # divides the 8-device test mesh
+            num_gradient_accumulation_steps=2,
+            num_train_steps=1,
+            num_steps_per_condition=4,
+            num_steps_per_sample_condition=4,
+            conditions_per_plate=2,
+            num_sample_conditions_per_plate=2,
+            results_folder=str(tmp_path / f"r{dtype}"),
+            skip_dataset_size_check=True,
+            input_dim=16,
+            progress_bar=False,
+            compute_dtype=dtype,
+            seed=7,
+        )
+        t = Trainer(cfg)
+        assert isinstance(t.dataset, StoredFEADataset)
+        batch = t._fetch_batch(0)
+        state, loss = t._train_step(t.state, batch)
+        assert int(state.step) == 1
+        losses[dtype] = float(loss)
+    assert np.isfinite(losses[None]) and np.isfinite(losses["bfloat16"])
+    assert abs(losses[None] - losses["bfloat16"]) < 0.05 * max(
+        1.0, abs(losses[None])
+    ), losses
