@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from functools import partial
+from functools import lru_cache, partial
 
 from ..fem.assembly import build_incidence
 from ..fem.banded import (
@@ -507,27 +507,84 @@ def dispatch_plate_group(
         include_cell_fields=solver0.include_cell_fields,
         n_coarse=solver0.n_coarse,
     )
-    if sharding is None and _use_flat_chunk():
-        # Single-device chunks run the flat super-mesh kernel: the plate
-        # axis folds into the dof axis so every CG-loop gather uses shared
-        # (unbatched) index tables — measured ~1.6x faster lowering than
-        # the batched-table two-level vmap on TPU (see fem/flatgroup.py).
-        # With banded solvers the CG operator additionally becomes a
-        # dense block-shifted band matmul (fem/banded.py) — zero gathers
-        # in the hot loop. The sharded path keeps the per-plate vmap
-        # (each device solves whole plates; flat concat would turn
-        # per-plate reductions into cross-device collectives).
-        from ..fem.flatgroup import solve_flat_group_kernel
+    if _use_flat_chunk():
+        # The flat super-mesh kernel: the plate axis folds into the dof
+        # axis so every CG-loop gather uses shared (unbatched) index
+        # tables — measured ~1.6x faster lowering than the batched-table
+        # two-level vmap on TPU (see fem/flatgroup.py). With banded
+        # solvers the CG operator additionally becomes a dense
+        # block-shifted band matmul (fem/banded.py) — zero gathers in
+        # the hot loop.
+        #
+        # Multi-device chunks wrap the SAME body in shard_map: each
+        # device flattens and solves its own plates, so the program has
+        # no cross-device collectives at all (plates are independent;
+        # vmapping over a sharded plate axis would instead all-reduce
+        # the CG while_loop condition every iteration — measured 0.52
+        # scaling efficiency vs this layout's ~1.0).
+        from ..fem.flatgroup import flat_group_body, solve_flat_group_kernel
 
         m_real_p = None
         if band_hb > 0:
             m_real_p = jnp.asarray(
                 [s.m for s, _ in payloads], dtype=jnp.int32
             )
-        return solve_flat_group_kernel(
-            *args, m_real_p=m_real_p, band_hb=band_hb, **kw
-        )
+        if sharding is None:
+            return solve_flat_group_kernel(
+                *args, m_real_p=m_real_p, band_hb=band_hb, **kw
+            )
+        mesh = sharding.mesh
+        n_dev = mesh.devices.size
+        if len(payloads) % n_dev == 0:
+            spec = jax.sharding.PartitionSpec("dp")
+            fn = _sharded_flat_kernel(
+                mesh, band_hb, tuple(sorted(kw.items()))
+            )
+            if m_real_p is not None:
+                m_real_p = jax.device_put(
+                    m_real_p, jax.sharding.NamedSharding(mesh, spec)
+                )
+                return fn(*args, m_real_p)
+            return fn(*args)
     return _solve_multi_plate_kernel(*args, **kw)
+
+
+@lru_cache(maxsize=32)
+def _sharded_flat_kernel(mesh, band_hb: int, kw_items):
+    """jitted shard_map of the flat chunk body over `mesh` (cached so
+    repeat chunks reuse the compiled program instead of retracing)."""
+    from ..fem.flatgroup import flat_group_body
+
+    try:
+        from jax import shard_map as _smap  # jax >= 0.6
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _smap
+
+    kw = dict(kw_items)
+    spec = jax.sharding.PartitionSpec("dp")
+    n_args = 10 + (1 if band_hb > 0 else 0)
+
+    def body(*a):
+        if band_hb > 0:
+            return flat_group_body(
+                *a[:-1], m_real_p=a[-1], band_hb=band_hb, **kw
+            )
+        return flat_group_body(*a, band_hb=0, **kw)
+
+    # replication/vma tracking trips over unvarying while_loop carries
+    # (the iteration counter) in a body that is genuinely collective-free
+    # — disable it (kwarg name varies across jax versions)
+    try:
+        mapped = _smap(
+            body, mesh=mesh, in_specs=(spec,) * n_args, out_specs=spec,
+            check_vma=False,
+        )
+    except TypeError:
+        mapped = _smap(
+            body, mesh=mesh, in_specs=(spec,) * n_args, out_specs=spec,
+            check_rep=False,
+        )
+    return jax.jit(mapped)
 
 
 def fetch_plate_group(token, payloads):

@@ -171,14 +171,7 @@ def coarse_apply_flat(
     return jnp.concatenate([zx, zy])
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_coarse", "tol", "max_iters", "accept_tol", "restarts",
-        "include_cell_fields", "band_hb",
-    ),
-)
-def solve_flat_group_kernel(
+def flat_group_body(
     coords_p,  # (P, Nb, 2)
     triangles_p,  # (P, Mb, 3)
     slots_p,  # (P, 2*Nb, W)
@@ -314,3 +307,18 @@ def solve_flat_group_kernel(
 
     out = jax.vmap(lane)(young_cf, poisson_cf, free_cf, loads_cf, x0_cf)
     return jnp.transpose(out, (1, 0, 2))  # (P, C, K)
+
+
+# Single-device entry: one jitted program per static config. Multi-device
+# chunks wrap `flat_group_body` in shard_map instead (datagen/batched.py):
+# each device runs this body on ITS plates only — plates are independent,
+# so the right TPU program has zero cross-device collectives (a
+# vmap-over-sharded-plates lowering would all-reduce the CG while_loop
+# condition every iteration; measured 0.52 scaling efficiency vs ~1.0).
+solve_flat_group_kernel = jax.jit(
+    flat_group_body,
+    static_argnames=(
+        "n_coarse", "tol", "max_iters", "accept_tol", "restarts",
+        "include_cell_fields", "band_hb",
+    ),
+)

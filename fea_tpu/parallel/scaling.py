@@ -15,12 +15,15 @@ so wall time ~= summed device time and
 directly exposes sharding overhead (plate-axis padding, partitioning,
 collective scheduling) — 1.0 means the sharded program does no extra
 work; real-chip speedup is then n_devices x efficiency assuming ICI
-latency stays subdominant (the plate-group program has NO cross-device
-collectives in its hot loop: lanes are independent, so the only
-communication is the initial shard scatter and final gather).
+latency stays subdominant.
 
-Both runs use the two-level vmapped chunk kernel (the sharded path's
-kernel) so the ratio isolates sharding, not kernel choice.
+The sharded path is shard_map of the flat chunk body: each device
+flattens and solves its own plates, so the program has NO cross-device
+collectives at all (the earlier vmap-over-sharded-plates layout
+all-reduced the CG while_loop condition every iteration and measured
+0.52 efficiency at 0.6 s of work; shard_map removes that by
+construction). Both runs use the flat kernel, so the ratio isolates
+placement, not kernel choice.
 """
 
 import os
@@ -39,18 +42,10 @@ def measure_sharding_efficiency(
 ) -> Dict:
     """Returns {'t_unsharded_s', 't_sharded_s', 'efficiency',
     'lanes_per_device', ...}. Requires >= n_devices jax devices."""
-    prev_flat = os.environ.get("FEA_TPU_FLAT_CHUNK")
-    os.environ["FEA_TPU_FLAT_CHUNK"] = "0"  # see module docstring
-    try:
-        return _measure(
-            n_devices, plates_per_device, conditions_per_plate, mesh_size,
-            repeats,
-        )
-    finally:
-        if prev_flat is None:
-            os.environ.pop("FEA_TPU_FLAT_CHUNK", None)
-        else:
-            os.environ["FEA_TPU_FLAT_CHUNK"] = prev_flat
+    return _measure(
+        n_devices, plates_per_device, conditions_per_plate, mesh_size,
+        repeats,
+    )
 
 
 def _measure(
