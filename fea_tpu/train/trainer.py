@@ -475,21 +475,43 @@ class Trainer:
         import gc
 
         next_batch = self._fetch_batch(step * per_step)
+        # Loss logging is one step delayed: a blocking scalar fetch on the
+        # tunneled runtime costs ~1 s of pure RTT per step (CLAUDE.md), so
+        # the device value is staged with copy_to_host_async and converted
+        # on the NEXT iteration — by then the transfer has landed behind
+        # the next dispatch. pending_loss = (step_index, device_scalar).
+        pending_loss = None
+
+        def resolve_pending():
+            nonlocal pending_loss
+            if pending_loss is None:
+                return None
+            s, arr = pending_loss
+            pending_loss = None
+            v = float(arr)
+            logging.info(f"step: {s}, loss: {v:.4f}")
+            if pbar is not None:
+                pbar.set_description(f"loss: {v:.4f}")
+            return v
+
         while step < cfg.num_train_steps:
             batch = next_batch
             self.state, loss = self._train_step(self.state, batch)  # async
+            try:
+                loss.copy_to_host_async()
+            except AttributeError:
+                pass
             if step + 1 < cfg.num_train_steps:
                 next_batch = self._fetch_batch((step + 1) * per_step)
-            loss = float(loss)  # blocks on the device step
+            loss_value = resolve_pending()
+            pending_loss = (step, loss)
             if step % 100 == 99:
                 # The tunneled device plugin leaks ~40 MB/step of host
                 # staging buffers for uploaded batches; a periodic
                 # collect frees whatever is GC-reachable and bounds the
                 # damage (real TPU runtimes don't leak this way).
                 gc.collect()
-            logging.info(f"step: {step}, loss: {loss:.4f}")
             if pbar is not None:
-                pbar.set_description(f"loss: {loss:.4f}")
                 pbar.update(1)
 
             new_step = step + 1
@@ -497,6 +519,14 @@ class Trainer:
             image_filenames = None
             ranges = None
             milestone = None
+            at_milestone = (
+                new_step % cfg.num_steps_per_milestone == 0
+                or new_step % cfg.num_steps_per_soft_milestone == 0
+            )
+            if wandb_inject_function is not None or at_milestone:
+                # wandb needs the exact value for this step; milestones
+                # block on the device anyway, so keep the log ordered.
+                loss_value = resolve_pending()
             if new_step % cfg.num_steps_per_milestone == 0:
                 image_filenames, ranges, total_sample_loss = self.sample_and_save()
                 logging.info(f"sample loss: {total_sample_loss:.4f}")
@@ -516,11 +546,12 @@ class Trainer:
 
             if wandb_inject_function is not None:
                 wandb_inject_function(
-                    new_step, loss, total_sample_loss, image_filenames, ranges,
-                    milestone,
+                    new_step, loss_value, total_sample_loss, image_filenames,
+                    ranges, milestone,
                 )
             step = new_step
 
+        resolve_pending()  # flush the final step's log line
         if pbar is not None:
             pbar.close()
         self.save_checkpoint("final")
@@ -681,6 +712,12 @@ class Trainer:
 
         if milestone == "auto":
             milestone = self._newest_milestone()
+            if milestone is None:
+                # Crash-resume before the first milestone ever saved:
+                # nothing to restore — start fresh instead of dying, so
+                # a supervisor can always pass `--checkpoint auto`.
+                print("auto-resume: no checkpoint yet, starting fresh")
+                return
             print(f"auto-resume: milestone '{milestone}'")
         path = self._ckpt_dir(milestone)
         if not path.exists() and (
@@ -692,7 +729,7 @@ class Trainer:
             restored = ckptr.restore(path.absolute(), item=template)
         self.state = replicate(self.mesh, restored)
 
-    def _newest_milestone(self) -> str:
+    def _newest_milestone(self) -> Optional[str]:
         import orbax.checkpoint as ocp
 
         best = None
@@ -708,5 +745,4 @@ class Trainer:
                 continue
             if best is None or step > best[1]:
                 best = (name, step)
-        assert best is not None, "no resumable checkpoint found"
-        return best[0]
+        return None if best is None else best[0]
