@@ -99,6 +99,10 @@ class TrainerConfig:
     # bf16 shares f32's exponent range, so no loss scaling is needed.
     # None = full f32 (the reference trains f32, model/diffusion.py).
     compute_dtype: Optional[str] = None
+    # Bit-exact host->device transfer packing (see _pack_transfer):
+    # ±1 mask channels ship as int8; with bf16 compute, forces/materials
+    # ship pre-cast to bf16. Only affects bytes on the wire.
+    pack_transfers: bool = True
 
 
 class Trainer:
@@ -348,12 +352,49 @@ class Trainer:
             loss = loss + head_loss(log_pred, batch["log_displacement_range"])
         return loss
 
+    # ------------------------------------------------- transfer packing
+    def _pack_transfer(self, batch):
+        """Shrink the per-step host->device transfer, bit-exactly.
+
+        The tunneled link makes upload bandwidth a first-order cost
+        (~33 MB/step at 256px/b16 in f32). Two lossless reductions:
+        geometry/constraint channels are exactly {-1.0, +1.0} (dataset
+        contract, data/dataset.py) -> int8; and with compute_dtype
+        bfloat16 the model casts forces/materials to bf16 anyway
+        (_apply_model), so shipping bf16 gives bit-identical model
+        inputs. Displacement (the loss target) and the range heads stay
+        f32. 32 -> 18 bytes/pixel."""
+        if not self.config.pack_transfers:
+            return batch
+        out = dict(batch)
+        for k in ("geometry", "constraints"):
+            if k in out:
+                out[k] = out[k].astype(np.int8)
+        if self.config.compute_dtype == "bfloat16":
+            for k in ("forces", "materials"):
+                if k in out:
+                    out[k] = out[k].astype(jnp.bfloat16)
+        return out
+
+    @staticmethod
+    def _unpack_transfer(batch):
+        """Device-side inverse of _pack_transfer (idempotent: unpacked
+        batches pass through untouched). bf16 channels stay bf16 — the
+        model's own cast makes them bf16 regardless; mixed-dtype
+        concatenation promotes exactly."""
+        out = dict(batch)
+        for k in ("geometry", "constraints"):
+            if k in out and not jnp.issubdtype(out[k].dtype, jnp.floating):
+                out[k] = out[k].astype(jnp.float32)
+        return out
+
     # ---------------------------------------------------------- train step
     def _build_train_step(self):
         cfg = self.config
         optimizers = self.optimizers
 
         def train_step(state: TrainState, batch):
+            batch = self._unpack_transfer(batch)
             # batch leaves: (accum, micro, ...)
             def accum_body(carry, micro):
                 grads_acc, loss_acc = carry
@@ -403,6 +444,7 @@ class Trainer:
         cfg = self.config
 
         def eval_step(state: TrainState, batch, use_ema: bool):
+            batch = self._unpack_transfer(batch)
             params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
             # Single forward pass; loss computed from the same predictions
             # (the reference recomputes sample_model inside its loss path —
@@ -438,7 +480,7 @@ class Trainer:
         count = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
         idx = self.sampler.indices_at(global_offset, count)
         samples = [self.dataset[int(i)] for i in idx]
-        batch = collate(samples)
+        batch = self._pack_transfer(collate(samples))
         accum = cfg.num_gradient_accumulation_steps
         batch = {
             k: v.reshape((accum, cfg.train_batch_size) + v.shape[1:])

@@ -383,3 +383,72 @@ def test_auto_resume_picks_newest_milestone(tiny_dataset, tmp_path):
     trainer.state = trainer.state.replace(step=trainer.state.step * 0)
     trainer.load_checkpoint("auto")
     assert int(np.asarray(trainer.state.step)) == 7
+
+
+@pytest.mark.parametrize("dtype", [None, "bfloat16"])
+def test_transfer_packing_is_bit_exact(tiny_dataset, tmp_path, dtype):
+    """pack_transfers shrinks the host->device upload (±1 masks as int8;
+    bf16-compute inputs pre-cast) without changing a single bit of the
+    training computation: one train step packed vs unpacked from the
+    same initial state must produce exactly equal losses and params."""
+    def make(pack, tag):
+        cfg = TrainerConfig(
+            dataset_folder=tiny_dataset,
+            sample_dataset_folder=tiny_dataset,
+            dataset_image_size=32,
+            train_batch_size=8,
+            num_gradient_accumulation_steps=2,
+            num_train_steps=1,
+            num_steps_per_condition=3,
+            num_steps_per_sample_condition=3,
+            conditions_per_plate=2,
+            num_sample_conditions_per_plate=2,
+            results_folder=str(tmp_path / f"res_{tag}"),
+            skip_dataset_size_check=True,
+            input_dim=16,
+            seed=3,
+            compute_dtype=dtype,
+            pack_transfers=pack,
+        )
+        return Trainer(cfg)
+
+    t_packed, t_plain = make(True, "p"), make(False, "u")
+    b_packed, b_plain = t_packed._fetch_batch(0), t_plain._fetch_batch(0)
+    assert b_packed["geometry"].dtype == np.int8
+    assert b_plain["geometry"].dtype == np.float32
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        assert b_packed["forces"].dtype == jnp.bfloat16
+    s1, l1 = t_packed._train_step(t_packed.state, b_packed)
+    s2, l2 = t_plain._train_step(t_plain.state, b_plain)
+    assert float(l1) == float(l2)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_resume_without_checkpoint_starts_fresh(tiny_dataset, tmp_path):
+    """A supervisor can always pass --checkpoint auto: before the first
+    milestone ever saved there is nothing to restore and training must
+    start fresh instead of dying (crash-resume before step
+    num_steps_per_milestone)."""
+    config = TrainerConfig(
+        dataset_folder=tiny_dataset,
+        sample_dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=1,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        num_sample_conditions_per_plate=2,
+        results_folder=str(tmp_path / "res_empty"),
+        skip_dataset_size_check=True,
+    )
+    trainer = Trainer(config)
+    assert trainer._newest_milestone() is None
+    trainer.load_checkpoint("auto")  # must not raise
+    assert int(np.asarray(trainer.state.step)) == 0
