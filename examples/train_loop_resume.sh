@@ -20,7 +20,12 @@ BS=${BS:-16}
 extra=()
 # decoded-on-disk condition store (build with `fea_tpu store`): feeds
 # production-scale datasets at device speed
-[ -n "${STORE:-}" ] && extra+=(--dataset_store "$STORE")
+if [ -n "${STORE:-}" ]; then
+  extra+=(--dataset_store "$STORE")
+  # pre-warm the page cache: random-access memmap reads are ~25x slower
+  # cold (37 ms vs 1.4 ms/sample measured); one sequential read fixes it
+  cat "$STORE"/*.npy "$STORE"/*.npz > /dev/null 2>&1 || true
+fi
 # bf16 MXU compute with f32 master weights
 [ -n "${DTYPE:-}" ] && extra+=(--compute_dtype "$DTYPE")
 # track EMA weights (the reference notebooks sample through EMA)
