@@ -16,6 +16,9 @@ DATA=${DATA:-runs3/train_data}
 PLATES=${PLATES:-4000}
 SEED=${SEED:-300}
 BS=${BS:-8}
+# Where the production run's bucket growth settled (docs/PERFORMANCE.md):
+# starting there skips the early recompile ladder (~10 min of stalls).
+export FEA_TPU_BUCKET_FLOOR=${FEA_TPU_BUCKET_FLOOR:-12288,24576,24,384}
 
 for attempt in $(seq 0 40); do
   done_now=$(ls "$DATA" 2>/dev/null | grep -c '^[0-9]*$' || true)
