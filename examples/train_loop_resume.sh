@@ -28,6 +28,10 @@ if [ -n "${STORE:-}" ]; then
 fi
 # bf16 MXU compute with f32 master weights
 [ -n "${DTYPE:-}" ] && extra+=(--compute_dtype "$DTYPE")
+# HBM-resident condition tables: batches assembled on device from index
+# vectors (~100 bytes/step of host traffic; also sidesteps the tunnel
+# plugin's per-upload staging-buffer leak)
+[ -n "${DEVRES:-}" ] && extra+=(--device_resident_store)
 # track EMA weights (the reference notebooks sample through EMA)
 [ -n "${EMA:-}" ] && extra+=(--use_ema_model)
 

@@ -124,6 +124,13 @@ def _add_train(sub):
                         "`fea_tpu store`; feeds production-scale datasets "
                         "at device speed (overrides --data_dir for the "
                         "train set)")
+    p.add_argument("--device_resident_store", action="store_true",
+                   help="with --dataset_store: upload the condition "
+                        "tables to HBM once and assemble batches on "
+                        "device from index vectors (~100 bytes/step of "
+                        "host traffic); bit-exact, auto-falls back when "
+                        "tables exceed the HBM cap "
+                        "(FEA_TPU_DEVICE_STORE_CAP)")
     p.add_argument("--no_cache_dataset", dest="cache_dataset",
                    action="store_false", help=argparse.SUPPRESS)
     p.add_argument("--num_gradient_accumulation_steps", type=int, default=1)
@@ -169,6 +176,7 @@ def _cmd_train(args):
         skip_dataset_size_check=args.skip_dataset_size_check,
         cache_datasets=args.cache_dataset,
         dataset_store=args.dataset_store,
+        device_resident_store=args.device_resident_store,
         disable_auxiliary=(
             True if args.disable_auxiliary is None else args.disable_auxiliary
         ),

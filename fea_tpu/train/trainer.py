@@ -36,7 +36,12 @@ from PIL import Image
 
 from ..data.dataset import EpochSampler, FEADataset, collate
 from ..models import create_models
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
 from .ema import ema_update
 
 
@@ -103,6 +108,12 @@ class TrainerConfig:
     # ±1 mask channels ship as int8; with bf16 compute, forces/materials
     # ship pre-cast to bf16. Only affects bytes on the wire.
     pack_transfers: bool = True
+    # Device-resident store (requires dataset_store): upload the packed
+    # condition tables to HBM once and assemble batches inside the
+    # jitted train step from index vectors — ~100 bytes/step of host
+    # traffic instead of ~19-33 MB (data/device_store.py). Bit-exact vs
+    # the host feed. Auto-falls back if tables exceed the HBM cap.
+    device_resident_store: bool = False
 
 
 class Trainer:
@@ -119,6 +130,7 @@ class Trainer:
             config.train_batch_size * config.num_gradient_accumulation_steps >= 16
         ), "effective batch size (batch x grad accum) must be at least 16"
         assert config.loss_type in ("l1", "l2")
+        self.device_tables = None
         self.config = config
 
         self.mesh = make_mesh(config.n_devices)
@@ -143,6 +155,34 @@ class Trainer:
                 == config.conditions_per_plate
             )
             self.dataset = dataset
+            if config.device_resident_store:
+                from ..data.device_store import (
+                    DEFAULT_TABLE_BYTE_CAP,
+                    build_device_tables,
+                    estimate_table_bytes,
+                )
+
+                est = estimate_table_bytes(dataset)
+                cap = int(
+                    os.environ.get(
+                        "FEA_TPU_DEVICE_STORE_CAP", DEFAULT_TABLE_BYTE_CAP
+                    )
+                )
+                if est <= cap:
+                    self.device_tables = build_device_tables(
+                        dataset, sharding=replicated_sharding(self.mesh)
+                    )
+                    print(
+                        f"device-resident store: {est / 1e9:.2f} GB of "
+                        "tables uploaded once; per-step host traffic is "
+                        "index vectors only"
+                    )
+                else:
+                    print(
+                        f"device-resident store disabled: tables "
+                        f"{est / 1e9:.2f} GB exceed cap {cap / 1e9:.2f} GB"
+                        " — falling back to the host feed"
+                    )
         else:
             self.dataset = dataset if dataset is not None else FEADataset(
                 config.dataset_folder,
@@ -393,12 +433,24 @@ class Trainer:
         cfg = self.config
         optimizers = self.optimizers
 
-        def train_step(state: TrainState, batch):
-            batch = self._unpack_transfer(batch)
-            # batch leaves: (accum, micro, ...)
+        def train_step(state: TrainState, batch, tables=None):
+            # batch leaves: (accum, micro, ...) — either packed host
+            # tensors or (device-resident mode) index vectors assembled
+            # against the HBM-resident tables per micro-batch.
+            index_mode = "ci" in batch  # static: pytree structure
+
+            def materialize(micro):
+                if index_mode:
+                    from ..data.device_store import assemble_batch
+
+                    return assemble_batch(tables, micro)
+                return self._unpack_transfer(micro)
+
             def accum_body(carry, micro):
                 grads_acc, loss_acc = carry
-                loss, grads = jax.value_and_grad(self._loss)(state.params, micro)
+                loss, grads = jax.value_and_grad(self._loss)(
+                    state.params, materialize(micro)
+                )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss), None
 
@@ -479,9 +531,15 @@ class Trainer:
         cfg = self.config
         count = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
         idx = self.sampler.indices_at(global_offset, count)
-        samples = [self.dataset[int(i)] for i in idx]
-        batch = self._pack_transfer(collate(samples))
         accum = cfg.num_gradient_accumulation_steps
+        if self.device_tables is not None:
+            # device-resident store: ship index vectors, assemble in HBM
+            from ..data.device_store import index_arrays
+
+            batch = index_arrays(self.dataset, idx)
+        else:
+            samples = [self.dataset[int(i)] for i in idx]
+            batch = self._pack_transfer(collate(samples))
         batch = {
             k: v.reshape((accum, cfg.train_batch_size) + v.shape[1:])
             for k, v in batch.items()
@@ -538,7 +596,9 @@ class Trainer:
 
         while step < cfg.num_train_steps:
             batch = next_batch
-            self.state, loss = self._train_step(self.state, batch)  # async
+            self.state, loss = self._train_step(
+                self.state, batch, self.device_tables
+            )  # async dispatch
             try:
                 loss.copy_to_host_async()
             except AttributeError:

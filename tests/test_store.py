@@ -114,3 +114,51 @@ def test_trainer_with_store_and_bf16(store_dataset, tmp_path):
     assert abs(losses[None] - losses["bfloat16"]) < 0.05 * max(
         1.0, abs(losses[None])
     ), losses
+
+
+@pytest.mark.parametrize("dtype", [None, "bfloat16"])
+def test_device_resident_store_bit_exact(store_dataset, tmp_path, dtype):
+    """The HBM-resident table path (device_resident_store: batches
+    assembled inside the jitted step from index vectors,
+    data/device_store.py) must produce exactly the host feed's loss and
+    params from the same initial state."""
+    data_dir, store_dir = store_dataset
+    from fea_tpu.train import Trainer, TrainerConfig
+
+    def make(device_resident, tag):
+        cfg = TrainerConfig(
+            dataset_folder=data_dir,
+            sample_dataset_folder=data_dir,
+            dataset_store=store_dir,
+            dataset_image_size=64,
+            train_batch_size=8,
+            num_gradient_accumulation_steps=2,
+            num_train_steps=1,
+            num_steps_per_condition=4,
+            num_steps_per_sample_condition=4,
+            conditions_per_plate=2,
+            num_sample_conditions_per_plate=2,
+            results_folder=str(tmp_path / f"dr_{tag}"),
+            skip_dataset_size_check=True,
+            input_dim=16,
+            progress_bar=False,
+            compute_dtype=dtype,
+            device_resident_store=device_resident,
+            seed=7,
+        )
+        return Trainer(cfg)
+
+    t_dev, t_host = make(True, f"d{dtype}"), make(False, f"h{dtype}")
+    assert t_dev.device_tables is not None
+    assert t_host.device_tables is None
+    b_dev, b_host = t_dev._fetch_batch(0), t_host._fetch_batch(0)
+    assert "ci" in b_dev and "ci" not in b_host
+    # per-step host traffic in index mode is just the index vectors
+    assert sum(np.asarray(v).nbytes for v in b_dev.values()) < 1024
+    s1, l1 = t_dev._train_step(t_dev.state, b_dev, t_dev.device_tables)
+    s2, l2 = t_host._train_step(t_host.state, b_host)
+    assert float(l1) == float(l2), (float(l1), float(l2))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
