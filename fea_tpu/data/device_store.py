@@ -64,6 +64,9 @@ def build_device_tables(
     each device gathers its own batch shard locally — no collectives).
     """
     nc, r, _ = ds.force_vals.shape
+    assert r + 1 <= 127 and ds.mat_norm.shape[1] <= 127, (
+        "winner+1 must fit int8"
+    )
     n_steps = ds.num_steps
     # Per-(condition, step) force log-norms, f64 scalar pipeline then f32
     # cast — the exact math of store.py __getitem__ (which mirrors the
@@ -79,9 +82,11 @@ def build_device_tables(
         "geometry": np.asarray(ds.geometry),  # (P, S, S) uint8
         "constraints": np.asarray(ds.constraints),  # (NC, S, S) uint8
         "displacement": np.asarray(ds.displacement),  # (NC, S, S, 2) uint8
-        # winner+1 so slot 0 is "no region" (value 0.0 in the norm tables)
-        "force_winner": np.asarray(ds.force_winner).astype(np.int16) + 1,
-        "mat_winner": np.asarray(ds.mat_winner).astype(np.int16) + 1,
+        # winner+1 so slot 0 is "no region" (value 0.0 in the norm
+        # tables); stays int8 — winners are -1..R-1 with R <= 96, so +1
+        # fits and the two 2.1 GB tables don't double to int16
+        "force_winner": np.asarray(ds.force_winner) + np.int8(1),
+        "mat_winner": np.asarray(ds.mat_winner) + np.int8(1),
         "fnorm": fnorm,
         "mat_norm": ds.mat_norm,  # (NC, R+1, 2) f32, slot 0 = 0
         "ranges": rng,
