@@ -146,6 +146,11 @@ def _add_train(sub):
                    choices=["bfloat16", "float32"],
                    help="bfloat16 = mixed precision: bf16 MXU compute, "
                         "f32 master weights (no loss scaling needed)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward pass during backward "
+                        "(~1/3 more FLOPs, near-zero stored activations) "
+                        "— use when --device_resident_store tables + "
+                        "activations crowd HBM")
     p.add_argument("--no_progress_bar", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default=None)
@@ -177,6 +182,7 @@ def _cmd_train(args):
         cache_datasets=args.cache_dataset,
         dataset_store=args.dataset_store,
         device_resident_store=args.device_resident_store,
+        remat_loss=args.remat,
         disable_auxiliary=(
             True if args.disable_auxiliary is None else args.disable_auxiliary
         ),

@@ -114,6 +114,11 @@ class TrainerConfig:
     # traffic instead of ~19-33 MB (data/device_store.py). Bit-exact vs
     # the host feed. Auto-falls back if tables exceed the HBM cap.
     device_resident_store: bool = False
+    # Rematerialize the forward pass during backward (jax.checkpoint on
+    # the per-micro-batch loss): trades ~1/3 more FLOPs for near-zero
+    # stored activations — the escape hatch when resident tables +
+    # activations crowd HBM.
+    remat_loss: bool = False
 
 
 class Trainer:
@@ -446,9 +451,13 @@ class Trainer:
                     return assemble_batch(tables, micro)
                 return self._unpack_transfer(micro)
 
+            loss_fn = (
+                jax.checkpoint(self._loss) if cfg.remat_loss else self._loss
+            )
+
             def accum_body(carry, micro):
                 grads_acc, loss_acc = carry
-                loss, grads = jax.value_and_grad(self._loss)(
+                loss, grads = jax.value_and_grad(loss_fn)(
                     state.params, materialize(micro)
                 )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)

@@ -452,3 +452,39 @@ def test_auto_resume_without_checkpoint_starts_fresh(tiny_dataset, tmp_path):
     assert trainer._newest_milestone() is None
     trainer.load_checkpoint("auto")  # must not raise
     assert int(np.asarray(trainer.state.step)) == 0
+
+
+def test_remat_loss_matches_plain(tiny_dataset, tmp_path):
+    """remat_loss (jax.checkpoint on the per-micro loss) recomputes the
+    identical forward during backward: one train step must match the
+    plain step from the same init to float tolerance."""
+    def make(remat, tag):
+        cfg = TrainerConfig(
+            dataset_folder=tiny_dataset,
+            sample_dataset_folder=tiny_dataset,
+            dataset_image_size=32,
+            train_batch_size=8,
+            num_gradient_accumulation_steps=2,
+            num_train_steps=1,
+            num_steps_per_condition=3,
+            num_steps_per_sample_condition=3,
+            conditions_per_plate=2,
+            num_sample_conditions_per_plate=2,
+            results_folder=str(tmp_path / f"rm_{tag}"),
+            skip_dataset_size_check=True,
+            input_dim=16,
+            seed=3,
+            remat_loss=remat,
+        )
+        return Trainer(cfg)
+
+    t_r, t_p = make(True, "r"), make(False, "p")
+    s1, l1 = t_r._train_step(t_r.state, t_r._fetch_batch(0))
+    s2, l2 = t_p._train_step(t_p.state, t_p._fetch_batch(0))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
