@@ -247,6 +247,42 @@ def main():
     except Exception as e:  # auxiliary metric; never sink the bench
         log(f"train-step bench failed: {e}")
 
+    # Multi-chip scaling efficiency at fixed total work (VERDICT r2 #4):
+    # measured on a virtual CPU mesh in a subprocess (the axon backend
+    # exposes one chip). FEA_TPU_BENCH_SCALING=<n>|0 to override/disable.
+    scaling = None
+    n_scale = int(os.environ.get("FEA_TPU_BENCH_SCALING", "8"))
+    if n_scale > 1:
+        try:
+            import subprocess
+
+            code = (
+                "import os, json, jax\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "from fea_tpu.parallel.scaling import "
+                "measure_sharding_efficiency\n"
+                f"print(json.dumps(measure_sharding_efficiency({n_scale})))\n"
+            )
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS=(
+                    os.environ.get("XLA_FLAGS", "")
+                    + f" --xla_force_host_platform_device_count={n_scale}"
+                ).strip(),
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=600, env=env,
+            )
+            scaling = json.loads(out.stdout.strip().splitlines()[-1])
+            log(
+                f"sharding efficiency ({n_scale} virtual devices): "
+                f"{scaling.get('efficiency')}"
+            )
+        except Exception as e:
+            log(f"scaling bench failed: {e}")
+
     result = {
         "metric": "datagen_plates_per_hour",
         "value": round(plates_per_hour, 2),
@@ -277,6 +313,7 @@ def main():
         "stage_seconds": {
             k: round(v, 2) for k, v in sorted(stages.as_dict().items())
         },
+        "sharding_efficiency_virtual_mesh": scaling,
         "baseline_note": "reference sfepy-CPU est. 120 plates/hour (30s/plate)",
     }
     print(json.dumps(result))
