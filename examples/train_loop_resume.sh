@@ -28,10 +28,6 @@ if [ -n "${STORE:-}" ]; then
 fi
 # bf16 MXU compute with f32 master weights
 [ -n "${DTYPE:-}" ] && extra+=(--compute_dtype "$DTYPE")
-# HBM-resident condition tables: batches assembled on device from index
-# vectors (~100 bytes/step of host traffic; also sidesteps the tunnel
-# plugin's per-upload staging-buffer leak)
-[ -n "${DEVRES:-}" ] && extra+=(--device_resident_store)
 # track EMA weights (the reference notebooks sample through EMA)
 [ -n "${EMA:-}" ] && extra+=(--use_ema_model)
 
@@ -42,7 +38,23 @@ else
   resumed=0
 fi
 
+# HBM-resident condition tables: batches assembled on device from index
+# vectors (~100 bytes/step of host traffic; also sidesteps the tunnel
+# plugin's per-upload staging-buffer leak). Staged fallback: two
+# consecutive fast failures (< FAST_FAIL_S, e.g. an HBM OOM at init)
+# first add --remat (near-zero stored activations), then drop the
+# resident tables entirely — the host feed is the known-good path.
+devres_mode=${DEVRES:+tables}   # tables -> tables+remat -> off
+FAST_FAIL_S=${FAST_FAIL_S:-900}
+fast_fails=0
+
 for attempt in $(seq 1 40); do
+  run_extra=()
+  case "${devres_mode:-off}" in
+    tables) run_extra=(--device_resident_store) ;;
+    tables+remat) run_extra=(--device_resident_store --remat) ;;
+  esac
+  t_start=$(date +%s)
   python -m fea_tpu train \
     --data_dir "$DATA" --sample_data_dir "$EVAL" \
     --image_size 256 --batch_size "$BS" --num_steps "$STEPS" \
@@ -50,11 +62,24 @@ for attempt in $(seq 1 40); do
     --conditions_per_plate 4 --num_steps_per_condition 6 \
     --num_steps_per_sample_condition 6 --num_sample_conditions_per_plate 1 \
     --skip_dataset_size_check \
-    --results_dir "$RES" "${extra[@]}"
+    --results_dir "$RES" "${extra[@]}" ${run_extra[@]+"${run_extra[@]}"}
   rc=$?
-  echo "ATTEMPT $attempt EXIT $rc"
+  echo "ATTEMPT $attempt EXIT $rc (mode ${devres_mode:-off})"
   [ $rc -eq 0 ] && exit 0
   if [ "$resumed" = 0 ]; then extra+=(--checkpoint auto); resumed=1; fi
+  if [ $(($(date +%s) - t_start)) -lt "$FAST_FAIL_S" ]; then
+    fast_fails=$((fast_fails + 1))
+  else
+    fast_fails=0
+  fi
+  if [ "$fast_fails" -ge 2 ] && [ -n "${devres_mode:-}" ]; then
+    case "$devres_mode" in
+      tables) devres_mode="tables+remat" ;;
+      *) devres_mode="" ;;
+    esac
+    fast_fails=0
+    echo "fallback: feed mode now '${devres_mode:-off}'"
+  fi
   sleep 20
 done
 exit 1
