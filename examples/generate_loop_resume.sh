@@ -21,6 +21,12 @@ BS=${BS:-8}
 export FEA_TPU_BUCKET_FLOOR=${FEA_TPU_BUCKET_FLOOR:-12288,24576,24,384}
 
 for attempt in $(seq 0 40); do
+  # bench.py owns the chip while this flag exists (it stops the active
+  # datagen and expects exclusive device time); resume when it clears
+  while [ -e /tmp/fea_tpu_bench_pause ]; do
+    echo "bench in progress, datagen paused..."
+    sleep 30
+  done
   done_now=$(ls "$DATA" 2>/dev/null | grep -c '^[0-9]*$' || true)
   remaining=$((PLATES - done_now))
   [ "$remaining" -le 0 ] && exit 0

@@ -49,6 +49,12 @@ FAST_FAIL_S=${FAST_FAIL_S:-900}
 fast_fails=0
 
 for attempt in $(seq 1 40); do
+  # bench.py owns the chip while this flag exists (it stops the active
+  # trainer and expects exclusive device time); resume when it clears
+  while [ -e /tmp/fea_tpu_bench_pause ]; do
+    echo "bench in progress, training paused..."
+    sleep 30
+  done
   run_extra=()
   case "${devres_mode:-off}" in
     tables) run_extra=(--device_resident_store) ;;
