@@ -408,8 +408,14 @@ def _supervised():
     (including backend init); the documented mitigation is kill + retry
     once (CLAUDE.md). Without this, a hang during the driver's bench run
     records nothing at all."""
+    import signal
     import subprocess
 
+    # CLAUDE.md mandates wrapping TPU runs in `timeout`, which SIGTERMs;
+    # convert to SystemExit so the finally below clears the pause flag
+    # (a stale flag would wedge the resilient loops — they also apply a
+    # 2 h staleness bound as the backstop for SIGKILL)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     _wait_for_relay()
     _pause_resident_jobs()
     env = dict(os.environ, FEA_TPU_BENCH_CHILD="1")

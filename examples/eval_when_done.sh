@@ -14,7 +14,9 @@ EVAL=${EVAL:-runs3/eval_data}
 RES=${RES:-runs3/results_prod}
 LOG="$RES/eval_final.log"
 
-[ -f "$LOG" ] && grep -q "=== accuracy" "$LOG" && exit 0
+# EVAL_COMPLETE is appended only after every milestone scored OK — a
+# failed/partial eval must not mark the sidecar done
+[ -f "$LOG" ] && grep -q "EVAL_COMPLETE" "$LOG" && exit 0
 
 while true; do
   if [ -d "$RES/model-final" ]; then
@@ -34,14 +36,24 @@ while true; do
 done
 
 echo "training complete, scoring (raw+EMA, final+best)" | tee -a "$LOG"
+all_ok=1
 for ms in final best; do
+  ok=0
   for attempt in 1 2; do
     if EVAL="$EVAL" RES="$RES" MILESTONE="$ms" timeout 3600 \
         bash "$(dirname "$0")/eval_surrogate.sh" >> "$LOG" 2>&1; then
+      ok=1
       break
+    else
+      rc=$?
+      echo "eval milestone=$ms attempt $attempt failed (rc $rc)" \
+        | tee -a "$LOG"
+      sleep 60
     fi
-    echo "eval milestone=$ms attempt $attempt failed (rc $?)" | tee -a "$LOG"
-    sleep 60
   done
+  [ "$ok" = 1 ] || all_ok=0
 done
+if [ "$all_ok" = 1 ]; then
+  echo "EVAL_COMPLETE" >> "$LOG"
+fi
 echo "eval done: $LOG"

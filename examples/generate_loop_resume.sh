@@ -22,12 +22,28 @@ export FEA_TPU_BUCKET_FLOOR=${FEA_TPU_BUCKET_FLOOR:-12288,24576,24,384}
 
 for attempt in $(seq 0 40); do
   # bench.py owns the chip while this flag exists (it stops the active
-  # datagen and expects exclusive device time); resume when it clears
-  while [ -e /tmp/fea_tpu_bench_pause ]; do
+  # datagen and expects exclusive device time); resume when it clears.
+  # A flag older than 2 h is stale (SIGKILLed bench) — ignore it.
+  while [ -n "$(find /tmp/fea_tpu_bench_pause -mmin -120 2>/dev/null)" ]; do
     echo "bench in progress, datagen paused..."
     sleep 30
   done
-  done_now=$(ls "$DATA" 2>/dev/null | grep -c '^[0-9]*$' || true)
+  # count COMPLETE plates only: input.png is written last (atomically)
+  # by write_job, so a killed run's partial plate dir lacks it; delete
+  # partials so the resumed run regenerates them instead of shipping a
+  # truncated plate that poisons `fea_tpu store` later
+  done_now=0
+  while [ -f "$DATA/$((done_now + 1))/input.png" ]; do
+    done_now=$((done_now + 1))
+  done
+  for d in "$DATA"/[0-9]*/; do
+    [ -d "$d" ] || continue
+    b=$(basename "$d")
+    if [ "$b" -gt "$done_now" ] 2>/dev/null; then
+      echo "dropping partial plate dir $d"
+      rm -rf "$d"
+    fi
+  done
   remaining=$((PLATES - done_now))
   [ "$remaining" -le 0 ] && exit 0
   echo "ATTEMPT $attempt: $done_now written, $remaining to go"

@@ -50,8 +50,9 @@ fast_fails=0
 
 for attempt in $(seq 1 40); do
   # bench.py owns the chip while this flag exists (it stops the active
-  # trainer and expects exclusive device time); resume when it clears
-  while [ -e /tmp/fea_tpu_bench_pause ]; do
+  # trainer and expects exclusive device time); resume when it clears.
+  # A flag older than 2 h is stale (SIGKILLed bench) — ignore it.
+  while [ -n "$(find /tmp/fea_tpu_bench_pause -mmin -120 2>/dev/null)" ]; do
     echo "bench in progress, training paused..."
     sleep 30
   done

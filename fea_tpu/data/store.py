@@ -139,6 +139,13 @@ class ConditionStoreBuilder:
             self.force_vals = np.zeros((n, _MAX_REGIONS, 2), np.float64)
             self.mat_vals = np.zeros((n, _MAX_REGIONS, 2), np.float64)
             self.ranges = np.zeros((n, self.num_steps, 4), np.float32)
+        # Conditions built since the last flush(). `done` is only set on
+        # disk by flush(), AFTER the scalar table and the pixel memmaps
+        # are durable — a memmap write in build_plate could hit disk at
+        # any time (kernel writeback), so marking done there would let a
+        # crash persist done=1 for conditions whose scalars/pixels never
+        # made it, silently poisoning a resumed build.
+        self._done_pending: set = set()
 
     @staticmethod
     def _memmap(path: Path, shape: tuple, dtype) -> np.memmap:
@@ -159,7 +166,7 @@ class ConditionStoreBuilder:
         self.geometry[plate - 1] = geometry01.astype(np.uint8)
         for condition in range(1, self.C + 1):
             ci = self._cidx(plate, condition)
-            if self.done[ci]:
+            if self.done[ci] or ci in self._done_pending:
                 continue
             cdir = pdir / str(condition)
 
@@ -226,28 +233,42 @@ class ConditionStoreBuilder:
                     + list(all_ranges[f"displacement_y_{step}"]),
                     np.float32,
                 )
-            self.done[ci] = 1
+            self._done_pending.add(ci)
 
     def flush(self) -> None:
-        """Persist the scalar side table (memmaps flush via the OS)."""
+        """Make everything built so far durable, THEN mark it done.
+
+        Order matters for crash consistency: (1) scalar table via atomic
+        replace (a torn savez must not clobber the table the on-disk
+        done flags were committed against), (2) pixel memmaps, (3) done
+        flags last — done=1 on disk implies that condition's scalars and
+        pixels are on disk."""
+        paths = _store_paths(self.dir)
+        tmp = paths["scalars"].with_name("scalars.tmp.npz")
         np.savez(
-            _store_paths(self.dir)["scalars"],
+            tmp,
             force_vals=self.force_vals,
             mat_vals=self.mat_vals,
             ranges=self.ranges,
         )
+        os.replace(tmp, paths["scalars"])
         for m in (
             self.geometry,
             self.constraints,
             self.displacement,
             self.force_winner,
             self.mat_winner,
-            self.done,
         ):
             m.flush()
+        for ci in self._done_pending:
+            self.done[ci] = 1
+        self._done_pending.clear()
+        self.done.flush()
 
     def pending_plates(self) -> List[int]:
-        done = np.asarray(self.done).reshape(self.P, self.C)
+        done = np.asarray(self.done).copy().reshape(self.P, self.C)
+        for ci in self._done_pending:
+            done[ci // self.C, ci % self.C] = 1
         return [p + 1 for p in range(self.P) if not done[p].all()]
 
 
@@ -282,6 +303,10 @@ def build_condition_store(
 
     t0 = time.time()
     n_built = 0
+    failures: Dict[int, int] = {}  # plate -> consecutive build failures
+    _MAX_PLATE_RETRIES = 60  # ~10 min of trailing sweeps: mid-write
+    # plates resolve in seconds; a plate still failing after this is
+    # corrupt (truncated PNG from a killed datagen) and must surface
     while True:
         pending = b.pending_plates()
         if not pending:
@@ -305,11 +330,18 @@ def build_condition_store(
         for p in ready:
             try:
                 b.build_plate(p)
-            except Exception:
-                if trailing:
+                failures.pop(p, None)
+            except Exception as e:
+                failures[p] = failures.get(p, 0) + 1
+                if failures[p] == 1:
+                    print(f"store: plate {p} failed ({e!r}); retrying",
+                          flush=True)
+                if trailing and failures[p] < _MAX_PLATE_RETRIES:
                     continue  # plate likely mid-write; retry next sweep
                 raise
             n_built += 1
+            if n_built % 50 == 0:
+                b.flush()  # bound what a crash can lose on a long sweep
             if verbose and n_built % 200 == 0:
                 rate = n_built / (time.time() - t0)
                 print(

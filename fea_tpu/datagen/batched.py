@@ -715,7 +715,7 @@ class _PlateJob:
 
     def __init__(self, mesh, pairs, pool):
         self.mesh = mesh
-        self.band_hint: Optional[int] = None  # quantized hb, 0 = capped out
+        self.band_hint: Optional[int] = None  # quantized NATURAL hb cache
         self.solver: Optional[PlateSolver] = None
         self.pixel_map = None
         self.pairs = pairs  # [(condition, problem)] per slot
@@ -927,29 +927,40 @@ def generate_data_batched(
                 return _PlateJob(mesh, pairs, pool)
 
     def band_class(job: _PlateJob) -> int:
-        """Quantized banded half-bandwidth of the job's mesh (0 = over
-        BAND_HB_CAP, i.e. must use the incidence operator). Cached —
-        the dispatcher groups chunks by this class so a capped outlier
-        never forces banding off for the whole run."""
+        """Effective banded half-bandwidth the job's solver WILL get at
+        the current buckets (0 = incidence operator). Must mirror
+        PlateSolver's own criterion exactly — hb = max(natural,
+        buckets.band) and hb <= min(node_bucket // 4, BAND_HB_CAP) —
+        otherwise a 'banded-class' job can build a band_hb=0 solver and
+        the mixed-chunk safety net (buckets.band = -1) permanently
+        disables banding for the run. Only the quantized natural hb is
+        cached; the bucket-dependent classification is recomputed per
+        call (buckets grow during a run)."""
         if job.band_hint is None:
-            if job.solver is not None:
-                job.band_hint = job.solver.band_hb
-            elif not _use_banded():
+            if not _use_banded():
                 job.band_hint = 0
             else:
                 _, hb_nat = rcm_permutation(
                     np.asarray(job.mesh.triangles), job.mesh.num_nodes
                 )
-                hb = quantize_hb(hb_nat)
-                job.band_hint = hb if hb <= BAND_HB_CAP else 0
-        return job.band_hint
+                job.band_hint = quantize_hb(hb_nat)
+        hb = job.band_hint
+        if hb <= 0:
+            return 0
+        eff = max(hb, max(buckets.band, 0))
+        return eff if eff <= min(buckets.node // 4, BAND_HB_CAP) else 0
 
-    def ensure_solver(job: _PlateJob) -> None:
+    def ensure_solver(job: _PlateJob, want_band: Optional[bool] = None) -> None:
         """(Re)build the job's solver at the CURRENT running buckets, so
         every payload of a dispatch shares one shape key (one compiled
-        kernel, one fetch)."""
+        kernel, one fetch). `want_band` pins the chunk's band class:
+        dispatch_chunk groups jobs by class BEFORE buckets.update can
+        grow buckets.node (which loosens band_class), so re-deriving the
+        class here could band one job of an incidence chunk and trip the
+        mixed-chunk fallback."""
         key = (buckets.node, buckets.tri)
-        want_band = buckets.band >= 0 and band_class(job) > 0
+        if want_band is None:
+            want_band = buckets.band >= 0 and band_class(job) > 0
         if (
             job.solver is not None
             and job.solver.node_bucket == key[0]
@@ -971,7 +982,10 @@ def generate_data_batched(
                 max_iters=ITERS_PER_DISPATCH,
                 restarts=RESTARTS_PER_DISPATCH,
             )
-            job.band_hint = job.solver.band_hb
+            # NB: band_hint deliberately NOT updated from solver.band_hb —
+            # the hint caches the quantized NATURAL half-bandwidth, while
+            # solver.band_hb is the effective one (forced-min raised, or 0
+            # when built unbanded); mixing them corrupts band_class
 
     def write_job(job: _PlateJob, plate_number: int) -> None:
         with stages.stage("pixel_map"):
@@ -986,16 +1000,6 @@ def generate_data_batched(
         with stages.stage("write"):
             plate_dir = os.path.join(data_dir, str(plate_number))
             verify_directory(plate_dir)
-            save_gray_png(
-                os.path.join(plate_dir, "outline.png"),
-                outline_image(
-                    job.pixel_map, job.mesh.coords, job.mesh.ring_corner_ids
-                ),
-            )
-            save_gray_png(
-                os.path.join(plate_dir, "input.png"),
-                geometry_image(job.pixel_map),
-            )
             for slot, ((condition, _), result) in enumerate(
                 zip(job.pairs, job.results)
             ):
@@ -1013,6 +1017,19 @@ def generate_data_batched(
                     save_stress,
                     save_meshes,
                 )
+            # plate-level images LAST, input.png atomically: a plate dir
+            # containing input.png is guaranteed complete, so killed runs
+            # (OOM, watchdog, bench pause) can resume by counting plates
+            # with the sentinel and deleting partial dirs
+            save_gray_png(
+                os.path.join(plate_dir, "outline.png"),
+                outline_image(
+                    job.pixel_map, job.mesh.coords, job.mesh.ring_corner_ids
+                ),
+            )
+            tmp_input = os.path.join(plate_dir, ".input.tmp.png")
+            save_gray_png(tmp_input, geometry_image(job.pixel_map))
+            os.replace(tmp_input, os.path.join(plate_dir, "input.png"))
 
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -1073,26 +1090,28 @@ def generate_data_batched(
                 skipped.append(j)
         for j in reversed(skipped):
             ready.appendleft(j)  # other class dispatches next
+        chunk_band = want and buckets.band >= 0
         buckets.update(j.mesh for j in jobs)
         for job in jobs:
-            ensure_solver(job)
+            ensure_solver(job, want_band=chunk_band)
         wmax = max(j.solver.slots_dev.shape[1] for j in jobs)
         if wmax > buckets.degree:
             buckets.degree = wmax
             for job in jobs:
-                ensure_solver(job)  # rebuild the narrower ones
+                ensure_solver(job, want_band=chunk_band)  # rebuild narrower
         hbs = [j.solver.band_hb for j in jobs]
         if buckets.band >= 0:
             if 0 in hbs and max(hbs) > 0:
                 # mixed chunk should be impossible now (class grouping);
                 # keep the monotone run-wide fallback as a safety net
                 buckets.band = -1
+                chunk_band = False
                 for job in jobs:
-                    ensure_solver(job)
+                    ensure_solver(job, want_band=False)
             elif max(hbs) > buckets.band:
                 buckets.band = max(hbs)
                 for job in jobs:
-                    ensure_solver(job)  # rebuild the narrower bands
+                    ensure_solver(job, want_band=chunk_band)  # widen bands
         payloads = []
         pendings = []
         x0s = []

@@ -69,6 +69,39 @@ def test_store_resume_is_idempotent(store_dataset):
     assert np.array_equal(s["forces"], p["forces"])
 
 
+def test_store_crash_consistency(store_dataset, tmp_path):
+    """A builder killed before flush() must leave done=0 on disk for
+    everything built since the last flush — done=1 may only ever imply
+    'scalars + pixels durable' (a memmap done flag written eagerly can
+    hit disk before the in-RAM scalar table does, silently poisoning a
+    resumed build with zero forces/materials/ranges)."""
+    from fea_tpu.data.store import ConditionStoreBuilder
+
+    data_dir, _ = store_dataset
+    store_dir = str(tmp_path / "crash_store")
+    b = ConditionStoreBuilder(
+        data_dir, store_dir, num_plates=2, image_size=64,
+        conditions_per_plate=2, num_steps=4,
+    )
+    b.build_plate(1)
+    # no flush: simulate a crash — a NEW builder must see plate 1 pending
+    b2 = ConditionStoreBuilder(
+        data_dir, store_dir, num_plates=2, image_size=64,
+        conditions_per_plate=2, num_steps=4,
+    )
+    assert b2.pending_plates() == [1, 2]
+    # but the in-flight builder itself knows what it already built
+    assert b.pending_plates() == [2]
+    # flush commits: done flags + scalars land together
+    b.flush()
+    b3 = ConditionStoreBuilder(
+        data_dir, store_dir, num_plates=2, image_size=64,
+        conditions_per_plate=2, num_steps=4,
+    )
+    assert b3.pending_plates() == [2]
+    assert float(np.abs(b3.ranges[:2]).sum()) > 0.0  # scalars made it too
+
+
 def test_store_rejects_min_max_modes(store_dataset):
     _, store_dir = store_dataset
     with pytest.raises(AssertionError):
