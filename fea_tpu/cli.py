@@ -367,6 +367,9 @@ def _add_accuracy(sub):
     p.add_argument("--conditions_per_plate", type=int, default=4)
     p.add_argument("--steps_per_condition", type=int, default=6)
     p.add_argument("--per_step", action="store_true")
+    p.add_argument("--progress", action="store_true",
+                   help="tqdm over samples (300+ slow VTK/PNG reads at "
+                        "production eval sizes)")
     return p
 
 
@@ -382,6 +385,7 @@ def _cmd_accuracy(args):
         num_plates=args.num_plates,
         conditions_per_plate=args.conditions_per_plate,
         steps_per_condition=args.steps_per_condition,
+        progress=args.progress,
     )
     print(out)
 

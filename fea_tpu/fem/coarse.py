@@ -196,7 +196,12 @@ def coarse_apply(
         -army * rx + armx * ry, agg_ids, num_segments=n_coarse
     )
     rc = jnp.stack([s0, s1, s2], axis=1).reshape(-1)  # (3Nc,) [3a+m]
-    zc = Kc_inv @ rc
+    # precision pin (CLAUDE.md rule): an unpinned matvec lowers to bf16
+    # MXU passes on TPU, making the coarse correction vary ~1e-2 per
+    # iteration — a nonsymmetric, iteration-varying preconditioner that
+    # voids PCG's convergence guarantee exactly on the ill-conditioned
+    # lanes the coarse space exists for (flatgroup.py:164 pins its twin)
+    zc = jnp.matmul(Kc_inv, rc, precision=_HIGH)
     zc3 = zc.reshape(n_coarse, 3)
     tx = zc3[agg_ids, 0]
     ty = zc3[agg_ids, 1]

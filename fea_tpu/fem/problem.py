@@ -163,7 +163,16 @@ class StaticProblem:
             labels[self.fixed_nodes], minlength=n_comp
         )
         stiff_components = np.unique(labels[covered])
-        return bool((fixed_per_comp[stiff_components] < 2).any())
+        if bool((fixed_per_comp[stiff_components] < 2).any()):
+            return True
+        # >=2 fixed nodes per component is necessary but NOT sufficient:
+        # an internal hinge (cut vertex of the stiff graph whose split
+        # leaves one side with no fixed node) still has a zero-energy
+        # rotation. O(V+E) native articulation check (mesh/cdt).
+        from ..mesh.mesher import hinge_singular
+
+        hinged = hinge_singular(stiff, self.fixed_nodes)
+        return bool(hinged) if hinged is not None else False
 
     def padded(self, node_bucket: int, tri_bucket: int) -> "StaticProblem":
         """Pad to static bucket shapes so solves share compiled kernels.
@@ -533,9 +542,32 @@ def solve_refined(
     if pad_buckets is not None:
         padded = problem.padded(*pad_buckets)
 
+    # Correction-solve scaffold built ONCE: only the RHS changes between
+    # refinements, so rebuilding incidence/aggregates (host O(M)+O(N))
+    # and re-uploading the static tables every outer iteration was pure
+    # waste — and the earlier per-iteration StaticProblem dropped
+    # padded.n_real, letting ghost nodes (parked at ~(100,100)) into the
+    # coarse-aggregation bbox, which collapsed the real domain into ~1
+    # aggregate and degraded the inner preconditioner to block-Jacobi.
+    n_pad = len(padded.coords)
+    n_real = padded.n_real if padded.n_real is not None else n
+    incidence = build_incidence(padded.triangles, n_pad)
+    n_coarse = n_coarse_for_bucket(n_pad)
+    space = build_aggregates(padded.coords, n_coarse, n_real=n_real)
+    f32 = jnp.float32
+    coords_dev = jnp.asarray(padded.coords, f32)
+    tris_dev = jnp.asarray(padded.triangles, jnp.int32)
+    young_dev = jnp.asarray(padded.young, f32)
+    poisson_dev = jnp.asarray(padded.poisson, f32)
+    free_dev = jnp.asarray(~padded.fixed_nodes, f32)
+    agg_dev = jnp.asarray(space.agg_ids)
+    arms_dev = jnp.asarray(space.arms, f32)
+    pad_tail = np.zeros((n_pad - n, 2))
+
     x = np.zeros(2 * n)
     rnorm = np.inf
     iters = 0
+    diverged = False
     for outer in range(outer_iters):
         r = (b - K @ x) * free
         rnorm = float(np.linalg.norm(r)) / b_norm
@@ -543,31 +575,43 @@ def solve_refined(
             print(f"refine[{outer}] rel resid {rnorm:.3e}")
         if rnorm <= outer_tol or not np.isfinite(rnorm):
             break
-        corr_problem = StaticProblem(
-            coords=padded.coords,
-            triangles=padded.triangles,
-            young=padded.young,
-            poisson=padded.poisson,
-            fixed_nodes=padded.fixed_nodes,
-            loads=np.concatenate(
-                [r.reshape(n, 2), np.zeros((len(padded.coords) - n, 2))]
-            ),
+        res = _solve_kernel(
+            coords_dev,
+            tris_dev,
+            young_dev,
+            poisson_dev,
+            incidence.slots,
+            free_dev,
+            jnp.asarray(np.concatenate([r.reshape(n, 2), pad_tail]), f32),
+            agg_dev,
+            arms_dev,
             num_steps=2,
-        )
-        res = corr_problem.solve(
-            tol=inner_tol, max_iters=inner_max_iters, dtype=jnp.float32
+            tol=inner_tol,
+            max_iters=inner_max_iters,
+            accept_tol=1e-4,
+            restarts=6,
+            n_coarse=n_coarse,
         )
         iters += int(res.iterations)
         delta = np.asarray(res.displacements[-1][:n], np.float64).reshape(-1)
         if not np.isfinite(delta).all():
+            diverged = True
             break
         x = x + delta
+
+    # the loop can exit AFTER applying a correction rnorm never saw
+    # (outer_iters exhausted, or the non-finite break): report the
+    # residual of the x actually returned
+    r = (b - K @ x) * free
+    rnorm = float(np.linalg.norm(r)) / b_norm
 
     u1 = (x * free).reshape(n, 2)
     tvec = np.linspace(0.0, 1.0, problem.num_steps)
     eps1 = np.einsum("mij,mj->mi", B, u1[problem.triangles].reshape(-1, 6))
     sig1 = np.einsum("mij,mj->mi", D, eps1)
-    failed = not np.isfinite(rnorm) or not np.isfinite(x).all()
+    failed = (
+        diverged or not np.isfinite(rnorm) or not np.isfinite(x).all()
+    )
     return SolveResult(
         displacements=tvec[:, None, None] * u1[None],
         strain=tvec[:, None, None] * eps1[None],

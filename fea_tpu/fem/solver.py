@@ -37,8 +37,10 @@ def block_diagonal(Ke, triangles, n_nodes):
     return out
 
 
-def invert_blocks(blocks, free_mask=None):
-    """Inverse of 2x2 SPD blocks (2,2,N); identity on fixed/empty nodes."""
+def invert_blocks(blocks):
+    """Inverse of 2x2 SPD blocks (2,2,N); identity on fixed/empty nodes
+    (fixed-dof masking is the CG loop's job — it zeroes r at fixed dofs
+    before every preconditioner apply)."""
     a = blocks[0, 0]
     b = blocks[0, 1]
     c = blocks[1, 0]

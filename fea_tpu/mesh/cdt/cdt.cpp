@@ -442,3 +442,121 @@ int fea_triangulate(const double* exterior, int n_exterior,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Structural hinge detector (articulation-point mechanism check).
+//
+// Companion to fea_tpu.fem.StaticProblem.structurally_singular: ">= 2
+// Dirichlet-fixed nodes per stiff component" kills the component-level
+// rigid modes but NOT internal hinges — two stiff sub-bodies sharing
+// exactly one node (a cut vertex of the stiff edge graph) leave a
+// zero-energy rotation of whichever side carries no fixed node. The
+// reference's direct solver hits these as LU NaNs (fea_analysis.py:
+// 455-461) and resamples; catching them host-side saves a full
+// restarts x max_iters lockstep dispatch. Pure Python Tarjan costs
+// ~100 ms at production mesh sizes (x ~12 sampled conditions/plate it
+// would double the host pipeline), so it lives here: O(V+E), ~1 ms.
+//
+// Returns 1 if a hinge mechanism exists, 0 if none, -1 on bad input.
+
+extern "C" int fea_hinge_singular(const int32_t* tris, int m, int n,
+                                  const uint8_t* fixed_mask) {
+  if (m <= 0 || n <= 0) return -1;
+  // CSR adjacency from triangle edges (each undirected edge stored once
+  // per incident triangle; duplicates are fine for DFS — the parent
+  // edge is skipped exactly once so a duplicated parent edge correctly
+  // acts as a cycle).
+  std::vector<int> deg(n, 0);
+  for (int t = 0; t < m; ++t) {
+    int a = tris[3 * t], b = tris[3 * t + 1], c = tris[3 * t + 2];
+    if (a < 0 || a >= n || b < 0 || b >= n || c < 0 || c >= n) return -1;
+    deg[a] += 2;
+    deg[b] += 2;
+    deg[c] += 2;
+  }
+  std::vector<int64_t> off(n + 1, 0);
+  for (int i = 0; i < n; ++i) off[i + 1] = off[i] + deg[i];
+  std::vector<int> adj(off[n]);
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  auto add_edge = [&](int a, int b) {
+    adj[cur[a]++] = b;
+    adj[cur[b]++] = a;
+  };
+  for (int t = 0; t < m; ++t) {
+    int a = tris[3 * t], b = tris[3 * t + 1], c = tris[3 * t + 2];
+    add_edge(a, b);
+    add_edge(b, c);
+    add_edge(c, a);
+  }
+
+  std::vector<int> disc(n, -1), low(n, 0), parent(n, -1);
+  std::vector<int> fixcnt(n, 0), subsize(n, 0);
+  std::vector<char> parent_skipped(n, 0);
+  // (v, sub_fixed, sub_size): child subtree separated at vertex v
+  struct Split { int v; int sub_fixed; int sub_size; };
+  std::vector<Split> splits;
+  std::vector<Split> root_splits;  // children of the current DFS root
+  std::vector<std::pair<int, int64_t>> stack;
+  int timer = 0;
+
+  for (int s = 0; s < n; ++s) {
+    if (disc[s] != -1 || deg[s] == 0) continue;
+    splits.clear();
+    root_splits.clear();
+    disc[s] = low[s] = timer++;
+    fixcnt[s] = fixed_mask[s] ? 1 : 0;
+    subsize[s] = 1;
+    stack.clear();
+    stack.push_back({s, off[s]});
+    while (!stack.empty()) {
+      int v = stack.back().first;
+      int64_t& it = stack.back().second;
+      if (it < off[v + 1]) {
+        int u = adj[it++];
+        if (disc[u] == -1) {
+          parent[u] = v;
+          parent_skipped[u] = 0;
+          disc[u] = low[u] = timer++;
+          fixcnt[u] = fixed_mask[u] ? 1 : 0;
+          subsize[u] = 1;
+          stack.push_back({u, off[u]});
+        } else if (u == parent[v] && !parent_skipped[v]) {
+          parent_skipped[v] = 1;  // skip the tree edge ONCE; a second
+                                  // copy (shared interior edge) is a
+                                  // genuine cycle closing through it
+        } else {
+          if (disc[u] < low[v]) low[v] = disc[u];
+        }
+      } else {
+        stack.pop_back();
+        int p = parent[v];
+        if (p != -1) {
+          if (low[v] < low[p]) low[p] = low[v];
+          if (p == s) {
+            root_splits.push_back({p, fixcnt[v], subsize[v]});
+          } else if (low[v] >= disc[p]) {
+            splits.push_back({p, fixcnt[v], subsize[v]});
+          }
+          fixcnt[p] += fixcnt[v];
+          subsize[p] += subsize[v];
+        }
+      }
+    }
+    const int comp_fixed = fixcnt[s];
+    const int comp_size = subsize[s];
+    // A separated part P (attached to the rest only via v) has a
+    // zero-energy rotation about v iff P carries no fixed node; the
+    // remainder (everything but P and v) likewise.
+    auto hinged = [&](const Split& sp) {
+      int rem_fixed = comp_fixed - sp.sub_fixed - (fixed_mask[sp.v] ? 1 : 0);
+      int rem_size = comp_size - 1 - sp.sub_size;
+      return sp.sub_fixed == 0 || (rem_size > 0 && rem_fixed == 0);
+    };
+    for (const Split& sp : splits)
+      if (hinged(sp)) return 1;
+    if ((int)root_splits.size() >= 2)
+      for (const Split& sp : root_splits)
+        if (hinged(sp)) return 1;
+  }
+  return 0;
+}

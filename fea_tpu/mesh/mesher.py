@@ -125,8 +125,39 @@ def _get_lib():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.fea_hinge_singular.restype = ctypes.c_int
+    lib.fea_hinge_singular.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
+
+
+def hinge_singular(triangles, fixed_mask) -> Optional[bool]:
+    """Articulation-point mechanism check on the stiff edge graph
+    (cdt.cpp fea_hinge_singular): True if some cut vertex separates a
+    sub-body carrying no Dirichlet-fixed node (zero-energy rotation
+    about the hinge). Returns None when the native library is
+    unavailable (callers fall back to letting the solver discover it)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(triangles, dtype=np.int32)
+    fixed = np.ascontiguousarray(fixed_mask, dtype=np.uint8)
+    m = len(tris)
+    n = len(fixed)
+    if m == 0:
+        return True
+    rc = lib.fea_hinge_singular(
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(m),
+        ctypes.c_int(n),
+        fixed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return None if rc < 0 else bool(rc)
 
 
 def _boundary_scaffold(

@@ -15,6 +15,14 @@ Reproduces the reference metrics semantics
 Deviation (documented): the reference hardcodes a 256px resize for the
 geometry mask (accuracy_function.py:48) and would index out of bounds for
 other image sizes; we resize the mask to image_size.
+
+Interpretation caveat (reference-parity by design, do NOT "fix"): the
+fixed ±0.05 decode is applied to prediction PNGs whose training targets
+were *per-condition auto-range* normalized, so the reported MAE is a
+scale-mismatched quantity, not a physical displacement error — it is
+only comparable to the reference's own published number (0.0144), which
+embeds the exact same mismatch (accuracy_function.py:118-125 vs
+fea_analysis.py's auto-ranged image export).
 """
 
 from pathlib import Path
@@ -136,13 +144,15 @@ def accuracy_for_one_sample(
 def _sample_paths(
     gt_path: Path, samples_path: Path, index: int, conditions: int, steps: int
 ):
+    from ..datagen.writers import domain_vtk_name
+
     per_plate = conditions * (steps - 1)
     plate = index // per_plate + 1
     condition = (index % per_plate) // (steps - 1) + 1
     step = (index % per_plate) % (steps - 1) + 1
-    domain = (
-        f"domain.{step}.vtk" if steps <= 10 else "domain.{:0>2}.vtk".format(step)
-    )
+    # the VTK naming rule lives in ONE place (the datagen writer) so
+    # eval can never drift from what datagen wrote
+    domain = domain_vtk_name(step, steps)
     return (
         gt_path / str(plate) / str(condition) / domain,
         samples_path / str(plate) / str(condition) / f"sample_x_{step}.png",
@@ -175,7 +185,12 @@ def calculate_accuracy(
     maes = np.zeros(total)
     mses = np.zeros(total)
     rmses = np.zeros(total)
-    for index in range(total):
+    indices = range(total)
+    if progress:
+        from tqdm import tqdm
+
+        indices = tqdm(indices, desc="accuracy")
+    for index in indices:
         mesh_p, x_p, y_p, g_p, _ = _sample_paths(
             gt_path, samples_path, index, conditions_per_plate, steps_per_condition
         )
@@ -214,16 +229,37 @@ def calculate_accuracy_per_step(
     maes = np.full((total, n_steps), np.nan)
     mses = np.full((total, n_steps), np.nan)
     rmses = np.full((total, n_steps), np.nan)
-    for index in range(total):
+    # Explicit fill mask: NaN doubles as the 'not this step's slot'
+    # sentinel, and nanmean over it would ALSO silently drop a sample
+    # whose metric is genuinely NaN (diverged/singular ground truth),
+    # flattering the per-step numbers. Mean over filled slots only and
+    # let a real NaN propagate, matching calculate_accuracy.
+    filled = np.zeros((total, n_steps), dtype=bool)
+    indices = range(total)
+    if progress:
+        from tqdm import tqdm
+
+        indices = tqdm(indices, desc="accuracy (per step)")
+    for index in indices:
         mesh_p, x_p, y_p, g_p, step = _sample_paths(
             gt_path, samples_path, index, conditions_per_plate, steps_per_condition
         )
         maes[index, step - 1], mses[index, step - 1], rmses[index, step - 1] = (
             accuracy_for_one_sample(mesh_p, x_p, y_p, g_p, image_size)
         )
-    mae_steps = np.nanmean(maes, axis=0)
-    mse_steps = np.nanmean(mses, axis=0)
-    rmse_steps = np.nanmean(rmses, axis=0)
+        filled[index, step - 1] = True
+
+    def _mean_filled(grid: np.ndarray) -> np.ndarray:
+        out = np.full(n_steps, np.nan)
+        for s in range(n_steps):
+            col = grid[filled[:, s], s]
+            if col.size:
+                out[s] = col.mean()
+        return out
+
+    mae_steps = _mean_filled(maes)
+    mse_steps = _mean_filled(mses)
+    rmse_steps = _mean_filled(rmses)
     return {
         "mae_per_step": mae_steps,
         "mse_per_step": mse_steps,

@@ -116,7 +116,10 @@ def build_pixel_map(
         vp[..., 0].max(1) - vp[..., 0].min(1),
         vp[..., 1].max(1) - vp[..., 1].min(1),
     )
-    pad = 1e-4 + _BARY_TOL * ext
+    # x1.5 >= sqrt(2): a diagonal edge's altitude exceeds the axis-aligned
+    # extent by up to sqrt(2), so padding by exactly _BARY_TOL*ext would
+    # still be tighter than containment for diagonal hull edges
+    pad = 1e-4 + 1.5 * _BARY_TOL * ext
     col_lo = np.clip(np.ceil(vp[..., 0].min(1) - 0.5 - pad), 0, S - 1).astype(np.int64)
     col_hi = np.clip(np.floor(vp[..., 0].max(1) - 0.5 + pad), 0, S - 1).astype(np.int64)
     row_lo = np.clip(np.ceil(vp[..., 1].min(1) - 0.5 - pad), 0, S - 1).astype(np.int64)
@@ -149,7 +152,10 @@ def build_pixel_map(
             w2 = (e1[t, 0] * py - e1[t, 1] * px) * inv_d[t]
             w0 = 1.0 - w1 - w2
             score = np.minimum(np.minimum(w0, w1), w2)
-            ok = score >= -_BARY_TOL
+            # a degenerate (zero-area) triangle has inv_d forced to 0,
+            # which would yield barycentrics (1,0,0) -> score 0 and CLAIM
+            # every bbox pixel; reject it outright
+            ok = (score >= -_BARY_TOL) & (inv_d[t] != 0.0)
             if not ok.any():
                 continue
             t = t[ok]

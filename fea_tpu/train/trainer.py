@@ -721,11 +721,22 @@ class Trainer:
 
             image_pred = None if image_pred is None else np.asarray(image_pred)
             for j, sample_index in enumerate(idx):
-                plate = sample_index // (num_conditions * num_steps) + 1
-                condition = (
-                    sample_index % (num_conditions * num_steps)
-                ) // num_steps + 1
-                step = (sample_index % (num_conditions * num_steps)) % num_steps + 1
+                # defer to the dataset's own index decomposition so a
+                # non-default sample_start_plate_index saves predictions
+                # under the plate the inputs actually came from (a
+                # hardcoded +1 here silently mislabels them and accuracy
+                # then scores against the wrong ground truth)
+                ids_of = getattr(self.sample_dataset, "index_to_ids", None)
+                if ids_of is not None:
+                    plate, condition, step = ids_of(sample_index)
+                else:
+                    plate = sample_index // (num_conditions * num_steps) + 1
+                    condition = (
+                        sample_index % (num_conditions * num_steps)
+                    ) // num_steps + 1
+                    step = (
+                        sample_index % (num_conditions * num_steps)
+                    ) % num_steps + 1
                 if milestone is not None:
                     pathname = (
                         self.results_folder / f"{milestone}" / f"{plate}" / f"{condition}"
@@ -837,7 +848,42 @@ class Trainer:
             self.unzip_checkpoint(milestone)
         template = jax.device_get(self.state)
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(path.absolute(), item=template)
+            try:
+                restored = ckptr.restore(path.absolute(), item=template)
+            except ValueError:
+                # EMA-structure mismatch: the checkpoint's ema_params
+                # presence differs from this config's (e.g. `sample`
+                # without --use_ema on an EMA-trained checkpoint, or
+                # vice versa). Restore by the ON-DISK structure and
+                # adapt, instead of crashing the raw-vs-EMA eval loop.
+                raw = ckptr.restore(path.absolute())
+                if jax.tree_util.tree_structure(
+                    raw["params"]
+                ) != jax.tree_util.tree_structure(template.params):
+                    raise  # a real mismatch, not an EMA one
+                has_ema = raw.get("ema_params") is not None
+                if template.ema_params is not None and not has_ema:
+                    raise ValueError(
+                        f"checkpoint '{milestone}' carries no EMA weights "
+                        "(trained without --use_ema_model); sample without "
+                        "--use_ema"
+                    )
+                if has_ema and template.ema_params is None:
+                    print(
+                        "note: checkpoint carries EMA weights; restoring "
+                        "raw params (pass --use_ema to sample through EMA)"
+                    )
+                restored = TrainState(
+                    params=raw["params"],
+                    opt_states=raw["opt_states"],
+                    ema_params=(
+                        raw["ema_params"]
+                        if template.ema_params is not None
+                        else None
+                    ),
+                    step=jnp.asarray(raw["step"]),
+                    lowest_sample_loss=jnp.asarray(raw["lowest_sample_loss"]),
+                )
         self.state = replicate(self.mesh, restored)
 
     def _newest_milestone(self) -> Optional[str]:

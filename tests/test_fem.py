@@ -321,3 +321,45 @@ def test_structurally_singular_detects_hinge():
 
     none = np.zeros(mesh.num_nodes, dtype=bool)
     assert problem(none).structurally_singular()  # floating island
+
+
+def test_structural_hinge_detection():
+    """>=2 fixed nodes per stiff component is necessary but not
+    sufficient: two stiff bodies sharing exactly one node (a cut vertex)
+    leave a zero-energy rotation of the side carrying no fixed node
+    (reference hits these as LU NaNs, fea_analysis.py:455-461; we screen
+    them host-side via cdt.cpp fea_hinge_singular)."""
+    import numpy as np
+
+    from fea_tpu.fem import StaticProblem
+
+    coords = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [0.5, 1.0], [1.5, 2.0], [0.0, 2.0]]
+    )
+    bowtie = np.array([[0, 1, 2], [2, 3, 4]])
+    young = np.full(2, 1000.0)
+    poisson = np.full(2, 0.3)
+    loads = np.zeros((5, 2))
+
+    def make(fixed_ids, tris=bowtie, nn=5):
+        fixed = np.zeros(nn, bool)
+        fixed[list(fixed_ids)] = True
+        return StaticProblem(
+            coords=coords[:nn], triangles=tris,
+            young=young[: len(tris)], poisson=poisson[: len(tris)],
+            fixed_nodes=fixed, loads=loads[:nn], num_steps=2,
+        )
+
+    # both fixed nodes on one wing: the other wing rotates about node 2
+    assert make({0, 1}).structurally_singular()
+    # a fixed node on each side of the hinge: generically rigid
+    assert not make({0, 1, 3}).structurally_singular()
+    # edge-connected pair (no cut vertex): fine with 2 fixed nodes
+    quad = np.array([[0, 1, 2], [1, 3, 2]])
+    coords4 = coords[:4]
+    p = StaticProblem(
+        coords=coords4, triangles=quad, young=young, poisson=poisson,
+        fixed_nodes=np.array([True, True, False, False]),
+        loads=np.zeros((4, 2)), num_steps=2,
+    )
+    assert not p.structurally_singular()

@@ -488,3 +488,59 @@ def test_remat_loss_matches_plain(tiny_dataset, tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
         )
+
+
+def test_load_checkpoint_ema_structure_mismatch(tiny_dataset, tmp_path):
+    """The raw-vs-EMA eval loop restores one checkpoint under BOTH
+    template shapes: sampling an EMA-trained checkpoint without
+    --use_ema must adapt from the on-disk structure (not crash with an
+    orbax tree mismatch), and asking for EMA weights a checkpoint does
+    not carry must fail loudly (trainer.py load_checkpoint)."""
+    import jax
+
+    base = dict(
+        dataset_folder=tiny_dataset,
+        sample_dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=1,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        num_sample_conditions_per_plate=2,
+        skip_dataset_size_check=True,
+        input_dim=16,
+        seed=0,
+    )
+    res_ema = str(tmp_path / "res_ema")
+    t_ema = Trainer(TrainerConfig(**base, results_folder=res_ema, use_ema=True))
+    assert t_ema.state.ema_params is not None
+    t_ema.save_checkpoint("best")
+
+    # raw template <- EMA checkpoint: adapts, params restored, EMA dropped
+    t_raw = Trainer(
+        TrainerConfig(
+            **base, results_folder=res_ema, use_ema=False, inference_only=True
+        )
+    )
+    t_raw.load_checkpoint("best")
+    assert t_raw.state.ema_params is None
+    for a, b in zip(
+        jax.tree.leaves(t_ema.state.params), jax.tree.leaves(t_raw.state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # EMA template <- non-EMA checkpoint: loud, actionable error
+    res_plain = str(tmp_path / "res_plain")
+    t_plain = Trainer(
+        TrainerConfig(**base, results_folder=res_plain, use_ema=False)
+    )
+    t_plain.save_checkpoint("best")
+    t_want_ema = Trainer(
+        TrainerConfig(
+            **base, results_folder=res_plain, use_ema=True, inference_only=True
+        )
+    )
+    with pytest.raises(ValueError, match="no EMA"):
+        t_want_ema.load_checkpoint("best")
