@@ -56,14 +56,14 @@ DATA="$DATA" EVAL="$EVAL" RES="$RES" STEPS="$STEPS" BS="$BS" \
 # winner (the reference notebooks sample through ema_pytorch.EMA,
 # generateapplication.ipynb cell 16).
 for ema_flag in "" "--use_ema"; do
-  python -m fea_tpu sample --milestone best \
+  timeout 3600 python -m fea_tpu sample --milestone best \
     --data_dir "$DATA" --sample_data_dir "$EVAL" \
     --image_size 256 --batch_size "$BS" \
     --num_steps_per_condition 6 --num_sample_conditions_per_plate 4 \
     --results_dir "$RES" $ema_flag
 
   echo "=== accuracy ${ema_flag:-raw} ==="
-  python -m fea_tpu accuracy \
+  timeout 1800 python -m fea_tpu accuracy \
     --data_dir "$EVAL" --results_dir "$RES" --milestone best \
     --image_size 256 --num_plates "$EVAL_PLATES" --conditions_per_plate 4 \
     --steps_per_condition 6
