@@ -44,7 +44,15 @@ fi
 # consecutive fast failures (< FAST_FAIL_S, e.g. an HBM OOM at init)
 # first add --remat (near-zero stored activations), then drop the
 # resident tables entirely — the host feed is the known-good path.
-devres_mode=${DEVRES:+tables}   # tables -> tables+remat -> off
+# Default ON whenever a store is in play (bit-exact vs the host feed,
+# ~100 bytes/step host traffic, sidesteps the per-upload staging leak);
+# DEVRES=0 opts out. The fallback ladder below self-heals an HBM OOM.
+case "${DEVRES-auto}" in
+  auto) [ -n "${STORE:-}" ] && devres_mode=tables || devres_mode="" ;;
+  0 | "") devres_mode="" ;;
+  *) devres_mode=tables ;;
+esac
+# devres_mode: tables -> tables+remat -> off
 FAST_FAIL_S=${FAST_FAIL_S:-900}
 fast_fails=0
 
