@@ -51,6 +51,15 @@ def _use_banded() -> bool:
     return os.environ.get("FEA_TPU_BANDED", "1") != "0"
 
 
+def _band_block() -> int:
+    """Band-block Jacobi smoother size in dofs (flat banded kernel only;
+    fem/banded.band_block_diagonal). 0 disables — the per-node 2x2
+    block-Jacobi is used instead. FEA_TPU_BAND_BLOCK overrides."""
+    import os
+
+    return int(os.environ.get("FEA_TPU_BAND_BLOCK", "0"))
+
+
 # Hard cap on the banded half-bandwidth. The band buffer is
 # n_dofs x (2*hb + BAND_R) floats PER LANE (fem/banded.py): at the
 # production node bucket (8192) that is ~42 MB/lane at hb 256 but
@@ -525,20 +534,22 @@ def dispatch_plate_group(
         from ..fem.flatgroup import flat_group_body, solve_flat_group_kernel
 
         m_real_p = None
+        kwf = kw
         if band_hb > 0:
             m_real_p = jnp.asarray(
                 [s.m for s, _ in payloads], dtype=jnp.int32
             )
+            kwf = dict(kw, band_block=_band_block())
         if sharding is None:
             return solve_flat_group_kernel(
-                *args, m_real_p=m_real_p, band_hb=band_hb, **kw
+                *args, m_real_p=m_real_p, band_hb=band_hb, **kwf
             )
         mesh = sharding.mesh
         n_dev = mesh.devices.size
         if len(payloads) % n_dev == 0:
             spec = jax.sharding.PartitionSpec("dp")
             fn = _sharded_flat_kernel(
-                mesh, band_hb, tuple(sorted(kw.items()))
+                mesh, band_hb, tuple(sorted(kwf.items()))
             )
             if m_real_p is not None:
                 m_real_p = jax.device_put(

@@ -167,6 +167,138 @@ def banded_matvec(S, x, win_idx, hb: int):
     return y.reshape(-1)
 
 
+def band_block_diagonal(S, hb: int, block: int):
+    """Extract K's (block x block) diagonal blocks from the band.
+
+    S: (nblk, R, W) block-shifted band (assemble_band). `block` must be a
+    multiple of BAND_R. Returns (n_dofs // block, block, block).
+
+    Band geometry: S[i // R, i % R, j - (i // R) * R + hb] = K[i, j], so
+    the diagonal block g (rows/cols [g*block, (g+1)*block)) is a pure
+    static-index gather. Entries whose column offset falls outside the
+    band window satisfy |i - j| > hb and are exactly zero in K (the band
+    holds every nonzero by construction) — masked to 0 here. All index
+    math is device-side iota (no host constants: baking a (nb, B, B)
+    int32 table into the program would upload tens of MB through the
+    tunnel per compile, the same leak band_assembly_indices_dev avoids).
+    """
+    nblk, R, W = S.shape
+    n_dofs = nblk * R
+    nb = n_dofs // block
+    g = jnp.arange(nb, dtype=jnp.int32)[:, None, None]
+    r = jnp.arange(block, dtype=jnp.int32)[None, :, None]
+    s = jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    i = g * block + r
+    j = g * block + s
+    c = j - (i // R) * R + hb
+    valid = (c >= 0) & (c < W)
+    flat = i * W + jnp.where(valid, c, 0)
+    D = S.reshape(-1)[flat.reshape(-1)].reshape(nb, block, block)
+    return D * valid.astype(S.dtype)
+
+
+def spd_block_inverse(D, free_blocks, ridge: float = 1e-7):
+    """Exact-PSD inverse of masked SPD diagonal blocks.
+
+    D: (nb, B, B); free_blocks: (nb, B) 1.0 free / 0.0 fixed. Fixed (and
+    ghost-padding) rows/cols are zeroed and given a unit diagonal before
+    factorization, then re-masked to zero after, so the preconditioner
+    never injects residual at constrained dofs. A relative ridge keeps
+    the Cholesky PD against zero-stiffness straddling cells.
+
+    Returned as Linv^T Linv (Gram form): symmetric by construction and
+    PSD under any rounding — CG theory requires an SPD M even in f32.
+    A block whose factorization still fails (NaN) degrades to its
+    scalar-Jacobi inverse rather than poisoning the lane."""
+    nb, B, _ = D.shape
+    dtype = D.dtype
+    f = free_blocks.astype(dtype)
+    Dm = D * f[:, :, None] * f[:, None, :]
+    diag = jnp.diagonal(Dm, axis1=1, axis2=2)  # (nb, B)
+    mx = jnp.max(diag, axis=1, keepdims=True)
+    add = ridge * mx + jnp.where(diag <= 0.0, 1.0, 0.0)
+    eye = jnp.eye(B, dtype=dtype)
+    Dm = Dm + add[:, :, None] * eye[None]
+    L = jnp.linalg.cholesky(Dm)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, jnp.broadcast_to(eye, (nb, B, B)),
+        left_side=True, lower=True,
+    )
+    inv = jnp.einsum("gki,gkj->gij", Linv, Linv, precision=_HIGH)
+    inv = inv * f[:, :, None] * f[:, None, :]
+    # degrade failed blocks to scalar Jacobi (still SPD)
+    ok = jnp.all(jnp.isfinite(inv), axis=(1, 2), keepdims=True)
+    jac = jnp.where(diag > 0.0, f / jnp.where(diag > 0.0, diag, 1.0), 0.0)
+    return jnp.where(ok, inv, jac[:, :, None] * eye[None])
+
+
+def block_jacobi_apply(Dinv, x):
+    """z = blockdiag(Dinv) x on interleaved (n_dofs,) vectors."""
+    nb, B, _ = Dinv.shape
+    z = jnp.einsum(
+        "gij,gj->gi", Dinv, x.reshape(nb, B), precision=_HIGH
+    )
+    return z.reshape(-1)
+
+
+def spd_block_inv_factor(D, free_blocks, ridge: float = 1e-7,
+                         out_dtype=jnp.bfloat16):
+    """Inverse Cholesky factor Linv of masked SPD diagonal blocks, for
+    the Gram-form preconditioner apply M r = Linv^T (Linv r).
+
+    Same masking/ridge contract as `spd_block_inverse`, but returning
+    the factor halves the per-iteration HBM read when stored bf16
+    (out_dtype): M = L~^T L~ is symmetric PSD BY CONSTRUCTION for any
+    rounding of the factor — unlike rounding an explicit inverse, which
+    can flip small eigenvalues negative and break CG. A block whose
+    factorization fails degrades to scalar Jacobi (diag^-1/2 on the
+    diagonal — its Gram square is the scalar-Jacobi inverse)."""
+    nb, B, _ = D.shape
+    dtype = D.dtype
+    f = free_blocks.astype(dtype)
+    Dm = D * f[:, :, None] * f[:, None, :]
+    diag = jnp.diagonal(Dm, axis1=1, axis2=2)  # (nb, B)
+    mx = jnp.max(diag, axis=1, keepdims=True)
+    add = ridge * mx + jnp.where(diag <= 0.0, 1.0, 0.0)
+    eye = jnp.eye(B, dtype=dtype)
+    Dm = Dm + add[:, :, None] * eye[None]
+    L = jnp.linalg.cholesky(Dm)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, jnp.broadcast_to(eye, (nb, B, B)),
+        left_side=True, lower=True,
+    )
+    # mask columns at fixed dofs so M never injects residual there
+    # (rows of Linv at fixed dofs are e_i / sqrt(1 + ridge*mx); their
+    # Gram contribution only touches fixed entries, killed by masking)
+    Linv = Linv * f[:, None, :]
+    ok = jnp.all(jnp.isfinite(Linv), axis=(1, 2), keepdims=True)
+    jac = jnp.where(
+        diag > 0.0, f / jnp.sqrt(jnp.where(diag > 0.0, diag, 1.0)), 0.0
+    )
+    Linv = jnp.where(ok, Linv, jac[:, :, None] * eye[None])
+    return Linv.astype(out_dtype)
+
+
+def gram_apply(Linv, x):
+    """z = blockdiag(Linv^T Linv) x on interleaved (n_dofs,) vectors.
+
+    Two batched matvecs; f32 accumulation regardless of the factor's
+    storage dtype (bf16 factors are converted in registers — HBM reads
+    stay half-width)."""
+    nb, B, _ = Linv.shape
+    acc = jnp.float32 if Linv.dtype == jnp.bfloat16 else Linv.dtype
+    xb = x.reshape(nb, B)
+    y = jnp.einsum(
+        "gij,gj->gi", Linv, xb.astype(Linv.dtype),
+        preferred_element_type=acc,
+    )
+    z = jnp.einsum(
+        "gji,gj->gi", Linv, y.astype(Linv.dtype),
+        preferred_element_type=acc,
+    )
+    return z.reshape(-1).astype(x.dtype)
+
+
 def planar_to_interleaved(u, n):
     """(2n,) comp-major planar -> (2n,) node-interleaved."""
     return u.reshape(2, n).T.reshape(-1)

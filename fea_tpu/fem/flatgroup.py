@@ -36,9 +36,12 @@ from .assembly import apply_element_stiffness_planar, element_dof_indices
 from .banded import (
     assemble_band,
     band_assembly_indices_dev,
+    band_block_diagonal,
     banded_matvec,
+    gram_apply,
     interleaved_to_planar,
     planar_to_interleaved,
+    spd_block_inv_factor,
     window_index,
 )
 from .coarse import coarse_inverse
@@ -191,6 +194,7 @@ def flat_group_body(
     restarts: int,
     include_cell_fields: bool = True,
     band_hb: int = 0,
+    band_block: int = 0,
 ):
     """One device program for a whole chunk. Same argument contract as
     the sharded multi-plate kernel (datagen/batched.py), same output:
@@ -201,6 +205,17 @@ def flat_group_body(
     Mb = triangles_p.shape[1]
     PN = P * Nb
     PM = P * Mb
+    # band_block must tile the flat dof vector exactly (block boundaries
+    # may straddle plates — harmless: plates share no elements, so the
+    # straddling diagonal block is itself block-diagonal and its inverse
+    # never couples them). Degrade to the largest dividing multiple of
+    # BAND_R; all static python ints, resolved at trace time.
+    if band_block > 0:
+        band_block = max(band_block, 128)
+        while band_block > 128 and (2 * PN) % band_block:
+            band_block -= 128
+        if (2 * PN) % band_block:
+            band_block = 0
     coords, triangles, slots, agg_ids, arms = flatten_tables(
         coords_p, triangles_p, slots_p, agg_p, arms_p, n_coarse
     )
@@ -236,8 +251,8 @@ def flat_group_body(
         D = plane_strain_stiffness_em(young, poisson)
         Ke, B, _area = element_stiffness(coords, triangles, D)
         diag = extract_diagonal(Ke, triangles, PN)  # (PN,2)
-        block_inv = invert_blocks(block_diagonal(Ke, triangles, PN))
         free_planar = jnp.concatenate([free, free])
+        Dinv_band = None
         if band_hb > 0:
             S = assemble_band(Ke, band_idx, 2 * PN, band_hb)
 
@@ -246,8 +261,26 @@ def flat_group_body(
                 yi = banded_matvec(S, ui, win_idx, band_hb)
                 return interleaved_to_planar(yi, PN)
 
+            if band_block > 0:
+                # Band-block Jacobi: the band already materializes K's
+                # (block x block) diagonal blocks as a contiguous slice,
+                # so a far stronger smoother than the per-node 2x2
+                # (measured 1.4-1.7x fewer CG iterations at production
+                # density) costs one batched Cholesky per dispatch plus
+                # a bf16 factor read (~block/(2W) of the band bytes) per
+                # iteration. Gram form keeps M exactly SPD under bf16
+                # rounding. Block boundaries may straddle plates —
+                # harmless, plates share no elements so the straddling
+                # block is itself block-diagonal.
+                free_i = planar_to_interleaved(free_planar, PN)
+                Dblk = band_block_diagonal(S, band_hb, band_block)
+                Dinv_band = spd_block_inv_factor(
+                    Dblk, free_i.reshape(-1, band_block)
+                )
         else:
             op = partial(apply_element_stiffness_planar, Ke, dof_idx, slots)
+        if Dinv_band is None:
+            block_inv = invert_blocks(block_diagonal(Ke, triangles, PN))
 
         Kc_inv = None
         if n_coarse > 0:
@@ -257,9 +290,14 @@ def flat_group_body(
             Kc_inv = jax.vmap(coarse_inverse)(Kc)
 
         def precondition(r):
-            z = jnp.einsum(
-                "ijn,jn->in", block_inv, r.reshape(2, PN), precision=_HIGH
-            ).reshape(-1)
+            if Dinv_band is not None:
+                zi = gram_apply(Dinv_band, planar_to_interleaved(r, PN))
+                z = interleaved_to_planar(zi, PN)
+            else:
+                z = jnp.einsum(
+                    "ijn,jn->in", block_inv, r.reshape(2, PN),
+                    precision=_HIGH,
+                ).reshape(-1)
             if Kc_inv is not None:
                 z = z + coarse_apply_flat(
                     Kc_inv, agg_ids, arms, r, P, n_coarse
@@ -319,6 +357,6 @@ solve_flat_group_kernel = jax.jit(
     flat_group_body,
     static_argnames=(
         "n_coarse", "tol", "max_iters", "accept_tol", "restarts",
-        "include_cell_fields", "band_hb",
+        "include_cell_fields", "band_hb", "band_block",
     ),
 )
