@@ -37,7 +37,8 @@ while true; do
   sleep 60
   pid=""
   for p in /proc/[0-9]*; do
-    if tr '\0' ' ' < "$p/cmdline" 2>/dev/null \
+    # subshell: silence the shell's own redirect error on a proc race
+    if (tr '\0' ' ' < "$p/cmdline") 2>/dev/null \
         | grep -q "fea_tpu generate .*--data_dir $DATA"; then
       pid=${p#/proc/}
       break

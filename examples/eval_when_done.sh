@@ -24,7 +24,8 @@ while true; do
     # finishes before process exit, but be conservative about the chip)
     busy=0
     for p in /proc/[0-9]*; do
-      if tr '\0' ' ' < "$p/cmdline" 2>/dev/null \
+      # subshell: silence the shell's own redirect error on a proc race
+      if (tr '\0' ' ' < "$p/cmdline") 2>/dev/null \
           | grep -q "fea_tpu train .*--results_dir $RES"; then
         busy=1
         break

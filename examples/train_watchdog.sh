@@ -22,7 +22,9 @@ while true; do
   # exact-match the trainer python for this results dir; never pattern-kill
   pid=""
   for p in /proc/[0-9]*; do
-    if tr '\0' ' ' < "$p/cmdline" 2>/dev/null \
+    # subshell so the shell's own redirect error (proc exited between the
+    # glob and the open) is silenced too, not just tr's stderr
+    if (tr '\0' ' ' < "$p/cmdline") 2>/dev/null \
         | grep -q "fea_tpu train .*--results_dir $RES"; then
       pid=${p#/proc/}
       break

@@ -5,10 +5,19 @@ training feed's first-order cost (~19-33 MB/step at 256px/b16 even with
 transfer packing), and the device plugin leaks ~40 MB/step of host
 staging buffers for those uploads (docs/PERFORMANCE.md). The TPU-first
 fix is data residency: upload the store's packed uint8/int8 tables ONCE
-(~7.7 GB for the 4,000-plate production store — fits v5e's 16 GB HBM
-beside the flagship model + optimizer + EMA), and assemble each batch
-inside the jitted train step from three small int32 index vectors
-(~100 bytes/step on the wire).
+(~6.5 GB for the 4,000-plate production store: the {0,1} geometry and
+constraint masks are bitpacked 8 px/byte, saving ~1.15 GB vs flat uint8,
+and unpacked on-device with two VPU shift ops per batch), and assemble
+each batch inside the jitted train step from three small int32 index
+vectors (~100 bytes/step on the wire).
+
+HBM budget context (measured, 2026-08-18 production run): the flagship
+256px/b16 bf16 train step needs ~6.7 GB of HLO temps + ~2.4 GB of
+params/optimizer/EMA on a 15.75 GB v5e, so flat 7.7 GB tables OOM'd by
+~1 GB. Bitpacking recovers that; pairing tables with micro-batching
+(--batch_size 8 --num_gradient_accumulation_steps 2, which halves the
+temps) gives comfortable headroom — that is the `tables+accum` rung of
+examples/train_loop_resume.sh's fallback ladder.
 
 Assembly reproduces `StoredFEADataset.__getitem__` (store.py:385)
 bit-exactly:
@@ -43,9 +52,11 @@ def estimate_table_bytes(ds: StoredFEADataset) -> int:
     n_steps = ds.num_steps
     fnorm = ds.force_vals.shape[0] * n_steps * (ds.force_vals.shape[1] + 1) * 2 * 4
     ranges = ds.ranges.shape[0] * n_steps * 4 * 4 * 3
+    # {0,1} masks ride bitpacked (8 px/byte) when the row length allows
+    mask_div = 8 if ds.image_size % 8 == 0 else 1
     return int(
-        ds.geometry.nbytes
-        + ds.constraints.nbytes
+        ds.geometry.nbytes // mask_div
+        + ds.constraints.nbytes // mask_div
         + ds.displacement.nbytes
         + ds.force_winner.nbytes
         + ds.mat_winner.nbytes
@@ -53,6 +64,18 @@ def estimate_table_bytes(ds: StoredFEADataset) -> int:
         + fnorm
         + ranges
     )
+
+
+def _unpack_mask_bits(packed: jax.Array) -> jax.Array:
+    """(..., S//8) uint8 -> (..., S) uint8 of {0,1}, np.packbits order.
+
+    np.packbits is bitorder='big': element j of each 8-group lands in bit
+    7-j, so shifting by [7..0] restores element order. Two VPU ops per
+    batch — negligible beside the conv stack.
+    """
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
 
 
 def build_device_tables(
@@ -79,8 +102,6 @@ def build_device_tables(
     rng = ds.ranges[:, :n_steps].astype(np.float32)  # (NC, steps, 4)
 
     host_tables = {
-        "geometry": np.asarray(ds.geometry),  # (P, S, S) uint8
-        "constraints": np.asarray(ds.constraints),  # (NC, S, S) uint8
         "displacement": np.asarray(ds.displacement),  # (NC, S, S, 2) uint8
         # winner+1 so slot 0 is "no region" (value 0.0 in the norm
         # tables); stays int8 — winners are -1..R-1 with R <= 96, so +1
@@ -93,6 +114,18 @@ def build_device_tables(
         "log_ranges": np.log1p(np.abs(rng)).astype(np.float32),
         "sign_ranges": (rng >= 0).astype(np.float32),
     }
+    geometry = np.asarray(ds.geometry)  # (P, S, S) uint8 of {0,1}
+    constraints = np.asarray(ds.constraints)  # (NC, S, S) uint8 of {0,1}
+    if ds.image_size % 8 == 0:
+        # bitpack the binary masks 8 px/byte (saves ~1.15 GB of HBM on
+        # the 4,000-plate production store; the masks are exact {0,1} by
+        # the store's _binarize contract, store.py:189). packbits treats
+        # any nonzero as 1, so the round-trip is exact for {0,1} input.
+        host_tables["geometry_bits"] = np.packbits(geometry, axis=-1)
+        host_tables["constraints_bits"] = np.packbits(constraints, axis=-1)
+    else:
+        host_tables["geometry"] = geometry
+        host_tables["constraints"] = constraints
     put = (
         (lambda x: jax.device_put(x, sharding))
         if sharding is not None
@@ -135,9 +168,13 @@ def assemble_batch(
     def signed(u8):
         return u8.astype(jnp.float32) * 2.0 - 1.0
 
-    g = tables["geometry"][pi]  # (B, S, S) uint8
+    if "geometry_bits" in tables:  # static: pytree structure
+        g = _unpack_mask_bits(tables["geometry_bits"][pi])  # (B, S, S)
+        c = _unpack_mask_bits(tables["constraints_bits"][ci])
+    else:
+        g = tables["geometry"][pi]  # (B, S, S) uint8
+        c = tables["constraints"][ci]
     k = tables["displacement"][ci].astype(jnp.float32)  # (B, S, S, 2)
-    c = tables["constraints"][ci]
 
     fn = tables["fnorm"][ci, si]  # (B, R+1, 2) f32
     fw = tables["force_winner"][ci].astype(jnp.int32)  # (B, S, S, 2)
