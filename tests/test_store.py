@@ -195,3 +195,50 @@ def test_device_resident_store_bit_exact(store_dataset, tmp_path, dtype):
 
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_table_mask_bitpacking(store_dataset):
+    """Bitpacked {0,1} masks (8 px/byte in HBM, commit b4f9d09) must
+    assemble bit-exactly the same batch as flat uint8 tables, and the
+    table estimate must account for the 8x mask shrink."""
+    import jax.numpy as jnp
+
+    from fea_tpu.data.device_store import (
+        _unpack_mask_bits,
+        assemble_batch,
+        build_device_tables,
+        estimate_table_bytes,
+    )
+
+    _, store_dir = store_dataset
+    ds = StoredFEADataset(store_dir)
+    assert ds.image_size % 8 == 0
+    tables = build_device_tables(ds)
+    # masks ride packed: 8x smaller than the flat uint8 arrays
+    assert "geometry_bits" in tables and "geometry" not in tables
+    assert tables["geometry_bits"].nbytes * 8 == ds.geometry.nbytes
+    assert tables["constraints_bits"].nbytes * 8 == ds.constraints.nbytes
+    est = estimate_table_bytes(ds)
+    assert est >= sum(int(v.nbytes) for v in tables.values())
+
+    # unpack round-trips the exact masks
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_mask_bits(tables["geometry_bits"])),
+        np.asarray(ds.geometry),
+    )
+
+    # packed and flat tables assemble identical batches
+    flat = dict(tables)
+    del flat["geometry_bits"], flat["constraints_bits"]
+    flat["geometry"] = jnp.asarray(np.asarray(ds.geometry))
+    flat["constraints"] = jnp.asarray(np.asarray(ds.constraints))
+    from fea_tpu.data.device_store import index_arrays
+
+    idx = {
+        k: jnp.asarray(v)
+        for k, v in index_arrays(ds, np.arange(len(ds))[:5]).items()
+    }
+    a = assemble_batch(tables, idx)
+    b = assemble_batch(flat, idx)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
