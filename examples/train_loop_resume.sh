@@ -52,11 +52,14 @@ case "${DEVRES-auto}" in
   0 | "") devres_mode="" ;;
   *) devres_mode=tables ;;
 esac
-# devres_mode: tables -> tables+remat -> tables+accum -> off.
+# devres_mode: tables -> tables+accum -> off.
 # tables+accum halves the train step's HLO temps (micro-batch BS/2 x 2
 # accumulation steps, same effective batch — measured ~6.7 GB -> ~3.4 GB
 # at 256px/b16), which is the guaranteed-fit rung when the resident
-# tables leave too little HBM for the single-pass step.
+# tables leave too little HBM for the single-pass step. A whole-loss
+# --remat rung was measured useless on 2026-08-18 (50 MB: arguments
+# dominate and checkpointing the full loss doesn't shrink backward peak)
+# and only cost ~10 min of fast-fails per fresh start, so it was dropped.
 FAST_FAIL_S=${FAST_FAIL_S:-900}
 fast_fails=0
 
@@ -71,8 +74,7 @@ for attempt in $(seq 1 40); do
   run_extra=()
   case "${devres_mode:-off}" in
     tables) run_extra=(--device_resident_store) ;;
-    tables+remat) run_extra=(--device_resident_store --remat) ;;
-    tables+accum) run_extra=(--device_resident_store --remat \
+    tables+accum) run_extra=(--device_resident_store \
       --batch_size $((BS / 2)) --num_gradient_accumulation_steps 2) ;;
   esac
   t_start=$(date +%s)
@@ -95,8 +97,7 @@ for attempt in $(seq 1 40); do
   fi
   if [ "$fast_fails" -ge 2 ] && [ -n "${devres_mode:-}" ]; then
     case "$devres_mode" in
-      tables) devres_mode="tables+remat" ;;
-      tables+remat) devres_mode="tables+accum" ;;
+      tables) devres_mode="tables+accum" ;;
       *) devres_mode="" ;;
     esac
     fast_fails=0
