@@ -14,6 +14,22 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def amax_normalize(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    """x / max(x) over spatial dims — the reference's signed-amax output
+    normalization (fdnunetwithaux.py:800), with a zero-divisor guard.
+
+    Unguarded, a batch whose final-conv activations are all nonpositive
+    with zeros present yields 0/0 = NaN (observed once in the bf16
+    production run, 2026-08-18: loss 0.32 -> nan in a single step with
+    fully-finite inputs). The divisor is clamped away from zero
+    sign-preservingly; the guard only changes results where the
+    reference itself would produce inf/NaN garbage.
+    """
+    m = jnp.max(x, axis=(1, 2), keepdims=True)
+    m = jnp.where(m >= 0, jnp.maximum(m, eps), jnp.minimum(m, -eps))
+    return x / m
+
+
 class Downsample(nn.Module):
     """Space-to-depth (2x2) then 1x1 conv (fdnunetwithaux.py:24-38)."""
 

@@ -25,6 +25,7 @@ from .blocks import (
     ConditionFeatureExtractor,
     Downsample,
     Upsample,
+    amax_normalize,
 )
 from .time_embedding import TimeEmbeddingMLP
 
@@ -144,9 +145,9 @@ class FDNUNetDecoder(nn.Module):
             dims[0], use_fdn=False, num_groups=self.num_groups, name="final_resnet"
         )(x)
         x = nn.Conv(final_dim, (1, 1), name="final_conv")(x)
-        # amax (signed max, not abs) normalization — a faithful quirk of the
-        # reference (fdnunetwithaux.py:800).
-        return x / jnp.max(x, axis=(1, 2), keepdims=True)
+        # amax (signed max, not abs) normalization — a faithful quirk of
+        # the reference (fdnunetwithaux.py:800), zero-divisor guarded.
+        return amax_normalize(x)
 
 
 class FDNUNetAuxDecoder(nn.Module):
@@ -338,4 +339,4 @@ class FDNUNet(nn.Module):
             dims[0], use_fdn=False, num_groups=self.num_groups, name="final_resnet"
         )(x, None, time_embedding)
         x = nn.Conv(final_dim, (1, 1), name="final_conv")(x)
-        return x / jnp.max(x, axis=(1, 2), keepdims=True)
+        return amax_normalize(x)

@@ -10,7 +10,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention import FullAttention, LinearAttention
-from .blocks import ConditionedResnetBlock, Downsample, Upsample
+from .blocks import (
+    ConditionedResnetBlock,
+    Downsample,
+    Upsample,
+    amax_normalize,
+)
 from .fdnunet import _stage_dims
 from .time_embedding import TimeEmbeddingMLP
 
@@ -113,4 +118,4 @@ class UNet(nn.Module):
         x = jnp.concatenate([x, residual], axis=-1)
         x = block(dims[0], "final_resnet")(x, None, time_embedding)
         x = nn.Conv(final_dim, (1, 1), name="final_conv")(x)
-        return x / jnp.max(x, axis=(1, 2), keepdims=True)
+        return amax_normalize(x)

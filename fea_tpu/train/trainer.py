@@ -489,6 +489,29 @@ class Trainer:
             if ema is not None:
                 ema = ema_update(ema, new_params, cfg.ema_decay)
 
+            # Non-finite guard: one poisoned step must not destroy the
+            # run. The 2026-08-18 production run went loss 0.32 -> nan in
+            # a single step (step 3624) with fully-finite input tables —
+            # an inf gradient (spike, or a corrupted transfer on the
+            # tunneled link) turns into NaN params via clip-by-global-norm
+            # (scale = max_norm/inf = 0, and 0*inf = NaN). When the loss
+            # or the global grad norm is non-finite, keep the old params /
+            # optimizer states / EMA wholesale: the step is skipped, the
+            # loss log prints the nan honestly, and training continues
+            # from intact state. The host loop aborts if this persists
+            # (see train()).
+            ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+
+            def keep_if_ok(new, old):
+                return jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new, old
+                )
+
+            new_params = keep_if_ok(new_params, state.params)
+            new_opt_states = keep_if_ok(new_opt_states, state.opt_states)
+            if ema is not None:
+                ema = keep_if_ok(ema, state.ema_params)
+
             return (
                 state.replace(
                     params=new_params,
@@ -590,14 +613,34 @@ class Trainer:
         # on the NEXT iteration — by then the transfer has landed behind
         # the next dispatch. pending_loss = (step_index, device_scalar).
         pending_loss = None
+        # The in-graph non-finite guard (train_step) skips poisoned
+        # updates silently; if EVERY step is non-finite something is
+        # structurally wrong (bad checkpoint, broken feed) and burning
+        # the remaining steps as no-ops would look like a hang. Abort
+        # loudly after a long streak so the supervisor surfaces it.
+        nan_streak = 0
 
         def resolve_pending():
-            nonlocal pending_loss
+            nonlocal pending_loss, nan_streak
             if pending_loss is None:
                 return None
             s, arr = pending_loss
             pending_loss = None
             v = float(arr)
+            if v == v and abs(v) != float("inf"):
+                nan_streak = 0
+            else:
+                nan_streak += 1
+                logging.warning(
+                    f"step: {s}, non-finite loss ({v}) — update skipped "
+                    f"by the non-finite guard ({nan_streak} consecutive)"
+                )
+                if nan_streak >= 50:
+                    raise RuntimeError(
+                        "50 consecutive non-finite losses: every step is "
+                        "being skipped by the non-finite guard — aborting "
+                        "so the resilient loop / operator can intervene"
+                    )
             logging.info(f"step: {s}, loss: {v:.4f}")
             if pbar is not None:
                 pbar.set_description(f"loss: {v:.4f}")

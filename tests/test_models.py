@@ -212,3 +212,24 @@ def test_fdnunet_flash_attention_variant():
         outs.append(np.asarray(model.apply(variables, x, cond)))
     # same params (same init RNG), flash vs math attention agree
     np.testing.assert_allclose(outs[0], outs[1], atol=5e-4)
+
+
+def test_amax_normalize_zero_divisor_guard():
+    """amax_normalize must stay finite when the spatial max is 0 (the
+    unguarded reference quirk yields 0/0 = NaN; observed poisoning the
+    2026-08-18 bf16 production run) and be exact elsewhere."""
+    import jax.numpy as jnp
+
+    from fea_tpu.models.blocks import amax_normalize
+
+    # healthy case: identical to plain division
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)))
+    np.testing.assert_allclose(
+        np.asarray(amax_normalize(x)),
+        np.asarray(x / jnp.max(x, axis=(1, 2), keepdims=True)),
+    )
+    # pathological case: all-nonpositive with zeros present
+    z = jnp.asarray(-np.random.default_rng(1).random((1, 4, 4, 2)))
+    z = z.at[0, 0, 0, :].set(0.0)
+    out = np.asarray(amax_normalize(z))
+    assert np.isfinite(out).all()

@@ -544,3 +544,66 @@ def test_load_checkpoint_ema_structure_mismatch(tiny_dataset, tmp_path):
     )
     with pytest.raises(ValueError, match="no EMA"):
         t_want_ema.load_checkpoint("best")
+
+
+def test_non_finite_guard_skips_update(tiny_dataset, tmp_path):
+    """A poisoned batch (NaN) must not change params/opt/EMA — the
+    in-graph non-finite guard skips the update (2026-08-18 production
+    incident: one inf grad -> clip-by-global-norm -> NaN params)."""
+    config = TrainerConfig(
+        dataset_folder=tiny_dataset,
+        sample_dataset_folder=tiny_dataset,
+        dataset_image_size=32,
+        train_batch_size=16,
+        num_train_steps=2,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        num_sample_conditions_per_plate=2,
+        results_folder=str(tmp_path / "results_nanguard"),
+        skip_dataset_size_check=True,
+        use_ema=True,
+        input_dim=16,
+        seed=0,
+        progress_bar=False,
+    )
+    trainer = Trainer(config)
+    batch = trainer._fetch_batch(0)
+
+    import jax
+
+    bad = dict(batch)
+    key = "forces" if "forces" in bad else sorted(
+        k for k, v in bad.items() if np.asarray(v).dtype.kind == "f"
+    )[0]
+    arr = np.array(bad[key], np.float32)
+    arr[0] = np.nan
+    bad[key] = arr
+
+    before = jax.device_get(trainer.state)
+    state_bad, loss_bad = trainer._train_step(trainer.state, bad)
+    assert not np.isfinite(float(loss_bad))
+    after = jax.device_get(state_bad)
+    for a, b in zip(jax.tree.leaves(before.params), jax.tree.leaves(after.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(before.ema_params), jax.tree.leaves(after.ema_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(before.opt_states), jax.tree.leaves(after.opt_states)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(after.step) == int(before.step) + 1  # step still advances
+
+    # and a clean batch still updates params
+    state_ok, loss_ok = trainer._train_step(state_bad, batch)
+    assert np.isfinite(float(loss_ok))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(after.params),
+            jax.tree.leaves(jax.device_get(state_ok).params),
+        )
+    )
+    assert changed
