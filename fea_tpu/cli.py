@@ -152,6 +152,12 @@ def _add_train(sub):
                         "— use when --device_resident_store tables + "
                         "activations crowd HBM")
     p.add_argument("--no_progress_bar", action="store_true")
+    p.add_argument("--input_dim", type=int, default=64,
+                   help="base channel width of the FDN-UNet (the "
+                        "reference hardcodes 64, train_model.py:44); "
+                        "smaller widths give cheap smoke runs")
+    p.add_argument("--num_stages", type=int, default=4,
+                   help="UNet depth (dim_mults length)")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default=None)
     p.add_argument("--wandb_restrict_cache", type=int, default=10,
@@ -193,13 +199,17 @@ def _cmd_train(args):
             else args.compute_dtype
         ),
         progress_bar=not args.no_progress_bar,
+        input_dim=args.input_dim,
+        num_stages=args.num_stages,
     )
     trainer = Trainer(config)
     if args.checkpoint is not None:
         trainer.load_checkpoint(args.checkpoint)
 
     wandb_fn = None
-    if args.use_wandb:
+    if args.use_wandb and trainer.is_main:
+        # multi-host: only the main process logs (reference
+        # train_model.py wandb init under Accelerate's main process)
         import wandb
 
         assert args.wandb_project is not None, "Must specify wandb project name."
@@ -331,6 +341,10 @@ def _add_sample(sub):
                    help="Sample with the EMA weights from the checkpoint "
                         "(reference generateapplication.ipynb cell 16 loads "
                         "checkpoints into an ema_pytorch.EMA wrapper)")
+    p.add_argument("--input_dim", type=int, default=64,
+                   help="must match the width the checkpoint was trained "
+                        "with (see `train --input_dim`)")
+    p.add_argument("--num_stages", type=int, default=4)
     return p
 
 
@@ -349,6 +363,8 @@ def _cmd_sample(args):
         skip_dataset_size_check=True,
         inference_only=True,
         use_ema=args.use_ema,
+        input_dim=args.input_dim,
+        num_stages=args.num_stages,
     )
     trainer = Trainer(config)
     trainer.load_checkpoint(args.milestone)
@@ -422,6 +438,11 @@ def _cmd_app(args):
 
 
 def main(argv=None):
+    # Join the multi-controller cluster (no-op single-process) BEFORE
+    # anything touches the backend — see parallel/distributed.py.
+    from .parallel.distributed import ensure_initialized
+
+    ensure_initialized()
     _enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="fea_tpu", description="TPU-native FEA + surrogate framework."

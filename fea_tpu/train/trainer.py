@@ -36,6 +36,11 @@ from PIL import Image
 
 from ..data.dataset import EpochSampler, FEADataset, collate
 from ..models import create_models
+from ..parallel.distributed import (
+    ensure_initialized,
+    is_main_process,
+    sync_processes,
+)
 from ..parallel.mesh import (
     make_mesh,
     replicate,
@@ -138,6 +143,12 @@ class Trainer:
         self.device_tables = None
         self.config = config
 
+        # Multi-controller runtime (no-op single-process): join the
+        # cluster before the first backend query, then gate every
+        # host-side effect below on the main process — the reference's
+        # accelerator.is_main_process contract (diffusion.py:613).
+        ensure_initialized()
+        self.is_main = is_main_process()
         self.mesh = make_mesh(config.n_devices)
         self.n_devices = self.mesh.devices.size
         assert config.train_batch_size % self.n_devices == 0, (
@@ -265,12 +276,18 @@ class Trainer:
             str(config.train_learning_rate)[2:],
             datetime.now().strftime("%Y-%m-%d-%H-%M-%S"),
         )
-        logging.basicConfig(
-            filename=str(self.results_folder / log_name),
-            level=logging.INFO,
-            format="%(asctime)s %(message)s",
-            force=True,
-        )
+        if self.is_main:
+            logging.basicConfig(
+                filename=str(self.results_folder / log_name),
+                level=logging.INFO,
+                format="%(asctime)s %(message)s",
+                force=True,
+            )
+        else:
+            # non-main hosts keep the step loop's logging calls cheap
+            # and write no train-*.log (reference: log_with only on the
+            # main process, diffusion.py:456-458)
+            logging.basicConfig(level=logging.ERROR, force=True)
 
         # Optimizers: clip-by-global-norm 1.0 then Adam, one chain per module.
         def make_opt():
@@ -564,6 +581,25 @@ class Trainer:
         count = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
         idx = self.sampler.indices_at(global_offset, count)
         accum = cfg.num_gradient_accumulation_steps
+        local_bs = cfg.train_batch_size
+        pc = jax.process_count()
+        if pc > 1:
+            # multi-controller feed: each host decodes only the rows its
+            # devices own. The batch axis shards ('dcn','dp') with the
+            # dcn (process) axis outermost, so process p holds the
+            # contiguous block [p*B/pc, (p+1)*B/pc) of every micro-batch
+            # (shard_batch assembles the global array from these local
+            # shards via make_array_from_process_local_data).
+            assert cfg.train_batch_size % pc == 0
+            local_bs = cfg.train_batch_size // pc
+            p = jax.process_index()
+            idx = (
+                np.asarray(idx)
+                .reshape(accum, cfg.train_batch_size)[
+                    :, p * local_bs : (p + 1) * local_bs
+                ]
+                .reshape(-1)
+            )
         if self.device_tables is not None:
             # device-resident store: ship index vectors, assemble in HBM
             from ..data.device_store import index_arrays
@@ -573,7 +609,7 @@ class Trainer:
             samples = [self.dataset[int(i)] for i in idx]
             batch = self._pack_transfer(collate(samples))
         batch = {
-            k: v.reshape((accum, cfg.train_batch_size) + v.shape[1:])
+            k: v.reshape((accum, local_bs) + v.shape[1:])
             for k, v in batch.items()
         }
         return shard_batch(self.mesh, batch, leading_unsharded=1)
@@ -598,7 +634,7 @@ class Trainer:
         per_step = cfg.train_batch_size * cfg.num_gradient_accumulation_steps
         step = int(self.state.step)
         pbar = None
-        if cfg.progress_bar:
+        if cfg.progress_bar and self.is_main:
             from tqdm import tqdm
 
             # reference: tqdm over the step loop on the main process
@@ -732,6 +768,10 @@ class Trainer:
         use_ema: bool = False,
     ):
         cfg = self.config
+        # every process runs the SPMD eval step (the loss reduction is
+        # global), but only the main host writes images/ranges
+        # (reference diffusion.py:613 is_main_process gate)
+        save = save and self.is_main
         n = len(self.sample_dataset)
         bs = self.sample_batch_size
         num_conditions = self.sample_dataset.conditions_per_plate_geometry
@@ -752,10 +792,29 @@ class Trainer:
             # static batch shape: pad by repeating the last sample
             pad = bs - len(idx)
             samples = [self.sample_dataset[i] for i in idx + [idx[-1]] * pad]
+            pc = jax.process_count()
+            if pc > 1:
+                # each host feeds only its block of the sharded batch
+                # axis (same layout contract as _fetch_batch)
+                per = bs // pc
+                lo = jax.process_index() * per
+                samples = samples[lo : lo + per]
             batch = shard_batch(self.mesh, collate(samples))
             image_pred, range_pred, loss_vec = self._eval_step(
                 self.state, batch, use_ema
             )
+            if pc > 1:
+                # outputs are batch-sharded across hosts; gather them to
+                # every host so the loss bookkeeping (and the main
+                # host's file writes) see the global batch
+                from jax.experimental import multihost_utils
+
+                image_pred, range_pred, loss_vec = jax.tree.map(
+                    lambda x: multihost_utils.process_allgather(
+                        x, tiled=True
+                    ),
+                    (image_pred, range_pred, loss_vec),
+                )
             # mask the padded (repeated) tail out of the reported loss
             loss_sum += float(np.asarray(loss_vec)[: len(idx)].sum())
             loss_count += len(idx)
@@ -822,6 +881,15 @@ class Trainer:
 
     def save_checkpoint(self, milestone):
         import orbax.checkpoint as ocp
+
+        # params/opt-state are replicated (every process holds a full
+        # copy), so the main host alone writes the checkpoint; the
+        # barrier keeps other hosts from racing into the next milestone
+        # rotation (reference wait_for_everyone + is_main_process,
+        # diffusion.py:567, 613).
+        sync_processes(f"save_checkpoint_{milestone}")
+        if not self.is_main:
+            return
 
         if milestone == "latest":
             # rotate latest -> latest-prev (reference diffusion.py:647-668)
