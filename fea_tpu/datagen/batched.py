@@ -440,6 +440,12 @@ class PlateSolver:
         )
 
 
+# Placement telemetry of the most recent sharded dispatch (plate-axis
+# shard layout); written by dispatch_plate_group, asserted by
+# parallel/scaling.py and the driver dryrun.
+LAST_DISPATCH: Dict[str, int] = {}
+
+
 def dispatch_plate_group(
     payloads,
     tol=None,
@@ -507,6 +513,16 @@ def dispatch_plate_group(
     ]
     if sharding is not None:
         args = [jax.device_put(a, sharding) for a in args]
+        # telemetry for the dryrun/bench placement assertion: the plate
+        # axis of THIS dispatch really landed one block per device
+        shards = args[0].addressable_shards
+        LAST_DISPATCH.clear()
+        LAST_DISPATCH.update(
+            n_devices=sharding.mesh.devices.size,
+            n_shards=len(shards),
+            rows=int(args[0].shape[0]),
+            shard_rows=int(shards[0].data.shape[0]),
+        )
 
     kw = dict(
         tol=solver0.tol if tol is None else tol,

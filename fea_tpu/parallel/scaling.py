@@ -1,32 +1,40 @@
-"""Multi-chip scaling efficiency measurement for the datagen surface.
+"""Multi-chip scaling efficiency measurement (datagen + train).
 
 The 8-device correctness of the sharded plate-group solve is established
 by tests/test_datagen.py::test_solve_plate_group_sharded_over_mesh and
-the driver's `dryrun_multichip`. This module measures its *efficiency*:
-at FIXED total work (same plates, same conditions, same iteration
-budget), how much more total device time does the dp-sharded program
-spend than the single-device program?
+the driver's `dryrun_multichip`. This module measures its *efficiency*
+with ONE methodology for both surfaces: WEAK scaling with
+shape-identical per-device programs.
 
-On the virtual n-device CPU mesh every "device" shares the host cores,
-so wall time ~= summed device time and
+Datagen: every device gets the SAME plate (one plate replicated
+n_devices times), so per-device work is identical by construction —
+same system size, same CG iteration trajectory, same stopping point.
+The n-device program is shard_map of the flat chunk body (zero
+cross-device collectives; each device flattens and solves its own
+plate). On the virtual n-device CPU mesh every "device" timeshares the
+host cores, so zero-overhead sharding means t_n ~= n * t_1 and
 
-    efficiency = t_unsharded / t_sharded
+    efficiency = n * t_1 / t_n                         (in [0, ~1])
 
-directly exposes sharding overhead (plate-axis padding, partitioning,
-collective scheduling) — 1.0 means the sharded program does no extra
-work; real-chip speedup is then n_devices x efficiency assuming ICI
-latency stays subdominant.
+isolates partition + dispatch overhead. On real chips the devices run
+concurrently, so projected speedup = n_devices * efficiency assuming
+ICI latency stays subdominant (the program has no collectives, so the
+assumption is only about dispatch fan-out).
 
-The sharded path is shard_map of the flat chunk body: each device
-flattens and solves its own plates, so the program has NO cross-device
-collectives at all (the earlier vmap-over-sharded-plates layout
-all-reduced the CG while_loop condition every iteration and measured
-0.52 efficiency at 0.6 s of work; shard_map removes that by
-construction). Both runs use the flat kernel, so the ratio isolates
-placement, not kernel choice.
+Why not fixed-TOTAL-work (all plates in one flat system vs sharded)?
+The single-device flat program iterates its while_loop until every
+lane in the whole group finishes, while the sharded program stops each
+device at its own plate's convergence — DIFFERENT total work. Measured
+on 8 distinct plates that layout reports "efficiency" 2.4 (superlinear
+— it was measuring the lockstep-padding win, not placement overhead;
+round-3 VERDICT #6 flagged the same problem at 0.03 s of work where it
+reported 1.13 out of pure timing noise).
+
+`measure_train_sharding_efficiency` below applies the same weak-scaling
+design to the jitted DP train step (shape-identical per-device
+micro-batches).
 """
 
-import os
 import time
 from typing import Dict
 
@@ -35,43 +43,39 @@ import numpy as np
 
 def measure_sharding_efficiency(
     n_devices: int,
-    plates_per_device: int = 1,
     conditions_per_plate: int = 2,
-    mesh_size: float = 0.1,
-    repeats: int = 2,
+    mesh_size: float = 0.05,
+    repeats: int = 3,
+    min_work_s: float = 1.0,
 ) -> Dict:
-    """Returns {'t_unsharded_s', 't_sharded_s', 'efficiency',
-    'lanes_per_device', ...}. Requires >= n_devices jax devices."""
-    return _measure(
-        n_devices, plates_per_device, conditions_per_plate, mesh_size,
-        repeats,
-    )
+    """Weak-scaling efficiency of the sharded plate-group solve.
 
-
-def _measure(
-    n_devices: int,
-    plates_per_device: int,
-    conditions_per_plate: int,
-    mesh_size: float,
-    repeats: int,
-) -> Dict:
+    Returns {'t_1dev_s', 't_ndev_s', 'efficiency', ...}. Requires
+    >= n_devices jax devices. Each timed measurement runs >=
+    `min_work_s` of work (the solve is looped until the estimated total
+    crosses it) so a ~20% placement regression is statistically visible.
+    Also asserts the sharded dispatch really placed one plate per device
+    (datagen.batched.LAST_DISPATCH)."""
     import jax
 
-    from ..datagen.batched import PlateSolver, solve_plate_group
+    from ..datagen.batched import (
+        LAST_DISPATCH,
+        PlateSolver,
+        solve_plate_group,
+    )
     from ..datagen.conditions import ConditionSampler
+    from ..fem.problem import StaticProblem
     from ..geometry import GeometrySampler
     from ..mesh import triangulate_polygon
     from .mesh import batch_sharding, make_mesh
 
     assert len(jax.devices()) >= n_devices
 
-    from ..fem.problem import StaticProblem
-
-    n_plates = n_devices * plates_per_device
+    # one plate, replicated per device -> per-device work identical
     gs = GeometrySampler(random_seed=21)
     cs = ConditionSampler(random_seed=22)
-    jobs = []
-    while len(jobs) < n_plates:
+    job = None
+    while job is None:
         try:
             poly = gs.generate()
             mesh = triangulate_polygon(poly, mesh_size=mesh_size)
@@ -92,54 +96,63 @@ def _measure(
         ]
         if any(p.structurally_singular() for p in probs):
             continue
-        jobs.append((mesh, conds))
+        job = (mesh, conds)
 
-    node_b = max(
-        PlateSolver(m, 2).node_bucket for m, _ in jobs
+    mesh_geo, conds = job
+    solver = PlateSolver(
+        mesh_geo, 2, band_hb=-1, include_cell_fields=False
     )
-    tri_b = max(PlateSolver(m, 2).tri_bucket for m, _ in jobs)
-    payloads = []
-    for mesh, conds in jobs:
-        solver = PlateSolver(
-            mesh, 2, node_bucket=node_b, tri_bucket=tri_b, band_hb=-1,
-            include_cell_fields=False,
-        )
-        probs = [solver.build_problem(c) for c in conds]
-        payloads.append((solver, probs))
-    wmax = max(s.slots_dev.shape[1] for s, _ in payloads)
-    payloads = [
-        (
-            PlateSolver(
-                m, 2, node_bucket=node_b, tri_bucket=tri_b,
-                min_incidence_degree=wmax, band_hb=-1,
-                include_cell_fields=False,
-            ),
-            probs,
-        )
-        for (m, _), (s, probs) in zip(jobs, payloads)
-    ]
+    probs = [solver.build_problem(c) for c in conds]
+    payload = (solver, probs)
 
     mesh_nd = make_mesh(n_devices)
     sharding = batch_sharding(mesh_nd)
 
-    def timed(shard):
+    def solve_once(n: int, shard):
+        return solve_plate_group(
+            [payload] * n, max_iters=600, sharding=shard, pad_group_to=n
+        )
+
+    # compile + estimate the single-device solve (best of 3 — the first
+    # couple of post-compile calls pay executable-finalization noise),
+    # then loop both programs the SAME number of times so each timed
+    # measurement is >= min_work_s of work
+    solve_once(1, None)
+    t_est = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_once(1, None)
+        t_est = min(t_est, time.perf_counter() - t0)
+    inner = max(1, int(np.ceil(min_work_s / max(t_est, 1e-4))))
+
+    def timed(n: int, shard):
+        for _ in range(3):  # compile + settle
+            solve_once(n, shard)
         best = float("inf")
-        for _ in range(repeats + 1):  # first run compiles
+        for _ in range(repeats):
             t0 = time.perf_counter()
-            out = solve_plate_group(
-                payloads, max_iters=600, sharding=shard,
-                pad_group_to=n_plates,
-            )
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
+            for _ in range(inner):
+                out = solve_once(n, shard)
+            best = min(best, time.perf_counter() - t0)
         return best, out
 
-    t_unsharded, out_u = timed(None)
-    t_sharded, out_s = timed(sharding)
+    t_1, out_1 = timed(1, None)
+    t_n, out_n = timed(n_devices, sharding)
 
-    # results must agree (same program, different placement)
-    for pu, ps in zip(out_u, out_s):
-        for ru, rs in zip(pu, ps):
+    # the sharded program's inputs must really have landed one plate
+    # per device — a silent fallback to replicated placement would
+    # otherwise read as efficiency ~1.0
+    assert LAST_DISPATCH.get("n_shards") == n_devices, LAST_DISPATCH
+    assert (
+        LAST_DISPATCH.get("shard_rows") * n_devices
+        == LAST_DISPATCH.get("rows")
+    ), LAST_DISPATCH
+
+    # every device solved the same plate: results must agree with the
+    # single-device solve (same program, different placement)
+    ref = out_1[0]
+    for plate_res in out_n:
+        for ru, rs in zip(ref, plate_res):
             assert bool(ru.success) == bool(rs.success)
             if ru.success:
                 np.testing.assert_allclose(
@@ -150,11 +163,11 @@ def _measure(
 
     return {
         "n_devices": n_devices,
-        "plates": n_plates,
-        "lanes_per_device": plates_per_device * conditions_per_plate,
-        "t_unsharded_s": round(t_unsharded, 3),
-        "t_sharded_s": round(t_sharded, 3),
-        "efficiency": round(t_unsharded / t_sharded, 3),
+        "lanes_per_device": conditions_per_plate,
+        "solves_per_timing": inner,
+        "t_1dev_s": round(t_1, 3),
+        "t_ndev_s": round(t_n, 3),
+        "efficiency": round(n_devices * t_1 / t_n, 3),
     }
 
 
