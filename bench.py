@@ -283,6 +283,39 @@ def main():
         except Exception as e:
             log(f"scaling bench failed: {e}")
 
+    # Structural-screen validation vs the reference's solver (VERDICT r3
+    # #2): a fresh small sample scored against a SuperLU f64 oracle in a
+    # CPU subprocess. 'false rejects' = conditions the screen drops that
+    # the reference's NaN check would have kept; at the bounded bar
+    # (|u| <= 1e6) this should be ~0 — see benchmarks/screen_oracle.py
+    # and docs/screen_oracle.json for the full 500-condition study.
+    screen = None
+    n_oracle = int(os.environ.get("FEA_TPU_BENCH_ORACLE", "32"))
+    if n_oracle > 0:
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "screen_oracle.py",
+                    ),
+                    "--quick", "--n", str(n_oracle),
+                ],
+                capture_output=True, text=True, timeout=900,
+                env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            )
+            screen = json.loads(out.stdout.strip().splitlines()[-1])
+            log(
+                f"screen oracle (n={n_oracle}): false-reject rate "
+                f"{screen.get('screen_false_reject_rate')} "
+                f"(bounded {screen.get('screen_false_reject_rate_bounded')})"
+            )
+        except Exception as e:
+            log(f"screen-oracle bench failed: {e}")
+
     result = {
         "metric": "datagen_plates_per_hour",
         "value": round(plates_per_hour, 2),
@@ -314,6 +347,16 @@ def main():
             k: round(v, 2) for k, v in sorted(stages.as_dict().items())
         },
         "sharding_efficiency_virtual_mesh": scaling,
+        "screen_false_reject_rate": (
+            screen.get("screen_false_reject_rate") if screen else None
+        ),
+        "screen_false_reject_rate_bounded": (
+            screen.get("screen_false_reject_rate_bounded")
+            if screen else None
+        ),
+        "screen_oracle_sample": (
+            screen.get("n_conditions") if screen else None
+        ),
         "baseline_note": "reference sfepy-CPU est. 120 plates/hour (30s/plate)",
     }
     print(json.dumps(result))
