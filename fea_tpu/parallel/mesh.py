@@ -100,9 +100,9 @@ def shard_batch(mesh: Mesh, batch, leading_unsharded: int = 0):
 
     Single-process: a plain device_put (the host holds the global
     batch). Multi-controller: each process loads only its slice of the
-    global batch (data/dataset.py EpochSampler hands out per-process
-    index ranges) and the global array is assembled from the
-    process-local shards."""
+    global batch (Trainer._fetch_batch slices each micro-batch to this
+    process's contiguous row block) and the global array is assembled
+    from the process-local shards."""
     sharding = batch_sharding(mesh, leading_unsharded)
     if jax.process_count() > 1:
         return jax.tree.map(
