@@ -69,6 +69,10 @@ def ensure_initialized(
             "COORDINATOR_ADDRESS",  # generic JAX clusters
             "SLURM_JOB_ID",
             "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice
+            # TPU pod slices auto-detect via instance metadata, which
+            # this code cannot probe cheaply — set FEA_TPU_MULTIHOST=1
+            # on pod deployments to opt in to the no-args initialize()
+            "FEA_TPU_MULTIHOST",
         )
     )
     if coordinator_address is None and not auto_env:
