@@ -48,8 +48,24 @@ fi
 # ~100 bytes/step host traffic, sidesteps the per-upload staging leak);
 # DEVRES=0 opts out. The fallback ladder below self-heals an HBM OOM.
 case "${DEVRES-auto}" in
-  auto) [ -n "${STORE:-}" ] && devres_mode=tables || devres_mode="" ;;
+  auto)
+    devres_mode=""
+    if [ -n "${STORE:-}" ]; then
+      devres_mode=tables
+      # Measured 2026-08-18: at the full 4,000-plate store (6.53 GB
+      # bitpacked tables) the single-pass 256px/b16 step's HLO temps
+      # no longer fit v5e HBM (15.93 G needed of 15.75 G) and the run
+      # burns two fast-fail attempts walking to tables+accum. Start
+      # there directly when the store is production-sized.
+      store_kb=$(du -sk "$STORE" 2>/dev/null | cut -f1 || echo 0)
+      if [ "${store_kb:-0}" -gt $((5 * 1024 * 1024)) ]; then
+        devres_mode="tables+accum"
+        echo "store is $((store_kb / 1024 / 1024)) GB: starting at feed mode tables+accum"
+      fi
+    fi
+    ;;
   0 | "") devres_mode="" ;;
+  tables+accum) devres_mode="tables+accum" ;;
   *) devres_mode=tables ;;
 esac
 # devres_mode: tables -> tables+accum -> off.
