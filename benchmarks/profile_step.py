@@ -78,6 +78,9 @@ def main():
     cfg = TrainerConfig(
         dataset_image_size=S,
         train_batch_size=B,
+        # the production trainer requires effective batch >= 16; at B=8
+        # this matches the shipped tables+accum rung (b8 x accum2)
+        num_gradient_accumulation_steps=max(1, 16 // B),
         num_train_steps=1,
         num_steps_per_condition=6,
         num_steps_per_sample_condition=6,

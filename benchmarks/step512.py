@@ -11,10 +11,13 @@ capability headroom case, not the flagship config.
 
 Usage: timeout 1800 python benchmarks/step512.py [batch] [timed_steps]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fea_tpu.utils.device import enable_compilation_cache
 
@@ -37,6 +40,9 @@ for dtype in (None, "bfloat16"):
     cfg = TrainerConfig(
         dataset_image_size=512,
         train_batch_size=batch,
+        # the trainer requires effective batch >= 16 (reference config);
+        # at 512px that only fits HBM as micro-batches + accumulation
+        num_gradient_accumulation_steps=max(1, -(-16 // batch)),
         num_train_steps=1,
         num_steps_per_condition=6,
         num_steps_per_sample_condition=6,
