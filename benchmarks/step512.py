@@ -35,14 +35,20 @@ ds = InMemoryFEADataset.generate(
     image_size=512, mesh_size=2e-2, seed=11,
 )
 
-out = {"image_size": 512, "batch": batch}
-for dtype in (None, "bfloat16"):
+out = {"image_size": 512, "batch": batch, "remat": "--remat" in sys.argv}
+# f32 at 512px does not fit v5e HBM at any useful micro-batch (b4 needs
+# 29.6G of 15.75G, measured 2026-08-19); bf16 (+ loss remat if needed)
+# is the realistic 512px rung, so that is what we measure.
+dtypes = ("bfloat16",) if "--bf16-only" in sys.argv else (None, "bfloat16")
+remat = "--remat" in sys.argv
+for dtype in dtypes:
     cfg = TrainerConfig(
         dataset_image_size=512,
         train_batch_size=batch,
         # the trainer requires effective batch >= 16 (reference config);
         # at 512px that only fits HBM as micro-batches + accumulation
         num_gradient_accumulation_steps=max(1, -(-16 // batch)),
+        remat_loss=remat,
         num_train_steps=1,
         num_steps_per_condition=6,
         num_steps_per_sample_condition=6,
