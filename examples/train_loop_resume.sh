@@ -79,6 +79,16 @@ esac
 FAST_FAIL_S=${FAST_FAIL_S:-900}
 fast_fails=0
 
+# Stall-watchdog sidecar: the tunnel can wedge any rpc for an hour+
+# (measured 2026-08-19: trainer frozen 57 min mid-checkpoint-save at
+# step 6500); a hung attempt never exits, so this loop never retries it.
+# The watchdog kills the trainer by exact PID when its log stops moving.
+if [ "${WATCHDOG:-1}" = 1 ]; then
+  RES="$RES" bash "$(dirname "$0")/train_watchdog.sh" &
+  watchdog_pid=$!
+  trap '[ -n "${watchdog_pid:-}" ] && kill "$watchdog_pid" 2>/dev/null' EXIT
+fi
+
 for attempt in $(seq 1 40); do
   # bench.py owns the chip while this flag exists (it stops the active
   # trainer and expects exclusive device time); resume when it clears.
