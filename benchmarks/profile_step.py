@@ -79,8 +79,9 @@ def main():
         dataset_image_size=S,
         train_batch_size=B,
         # the production trainer requires effective batch >= 16; at B=8
-        # this matches the shipped tables+accum rung (b8 x accum2)
-        num_gradient_accumulation_steps=max(1, 16 // B),
+        # this matches the shipped tables+accum rung (b8 x accum2).
+        # Ceiling division so non-divisors of 16 still clear the guard.
+        num_gradient_accumulation_steps=max(1, -(-16 // B)),
         num_train_steps=1,
         num_steps_per_condition=6,
         num_steps_per_sample_condition=6,
@@ -188,8 +189,15 @@ def main():
     bench("fwd(loss)", fwd, params, micro)
     bench("grad", grad, params, micro)
 
-    # the production step donates its state arg: thread it through
+    # the production step donates its state arg: thread it through.
+    # XLA's cost_analysis counts the accumulation scan body ONCE; scale
+    # by the accum factor so the step row reflects the work actually
+    # executed (docs/PERFORMANCE.md previously had to hand-correct this).
     flops, bytes_ = cost_of(t._train_step, state, batch)
+    accum = cfg.num_gradient_accumulation_steps
+    if accum > 1:
+        flops = flops * accum if flops else flops
+        bytes_ = bytes_ * accum if bytes_ else bytes_
     st, _ = t._train_step(state, batch)  # compile (donates `state`)
     jax.block_until_ready(st.params)
     n_timed = 10

@@ -38,8 +38,12 @@ while true; do
   pid=""
   for p in /proc/[0-9]*; do
     # subshell: silence the shell's own redirect error on a proc race
-    if (tr '\0' ' ' < "$p/cmdline") 2>/dev/null \
-        | grep -q "fea_tpu generate .*--data_dir $DATA"; then
+    # fixed-string match with a trailing space: no prefix-path collisions,
+    # no regex wildcards from '.' in the path
+    cmd=$( (tr '\0' ' ' < "$p/cmdline") 2>/dev/null ) || continue
+    if printf '%s' "$cmd" | grep -qF "fea_tpu" \
+        && printf '%s' "$cmd" | grep -qF " generate " \
+        && printf '%s' "$cmd" | grep -qF -- "--data_dir $DATA "; then
       pid=${p#/proc/}
       break
     fi

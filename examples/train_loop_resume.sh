@@ -116,7 +116,19 @@ for attempt in $(seq 1 40); do
   echo "ATTEMPT $attempt EXIT $rc (mode ${devres_mode:-off})"
   [ $rc -eq 0 ] && exit 0
   if [ "$resumed" = 0 ]; then extra+=(--checkpoint auto); resumed=1; fi
-  if [ $(($(date +%s) - t_start)) -lt "$FAST_FAIL_S" ]; then
+  # A watchdog STALE kill (tunnel wedge) can exit in under FAST_FAIL_S;
+  # it must not count as an OOM-style fast fail or two tunnel wedges
+  # would needlessly downgrade the feed mode. The watchdog leaves a
+  # marker file; only count it if the marker predates this attempt.
+  wd_killed=0
+  if [ -f "$RES/.watchdog_killed" ] \
+      && [ "$(stat -c %Y "$RES/.watchdog_killed")" -ge "$t_start" ]; then
+    wd_killed=1
+    rm -f "$RES/.watchdog_killed"
+  fi
+  if [ "$wd_killed" = 1 ]; then
+    echo "attempt killed by watchdog (tunnel stall) — not a fast fail"
+  elif [ $(($(date +%s) - t_start)) -lt "$FAST_FAIL_S" ]; then
     fast_fails=$((fast_fails + 1))
   else
     fast_fails=0

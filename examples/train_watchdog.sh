@@ -24,8 +24,13 @@ while true; do
   for p in /proc/[0-9]*; do
     # subshell so the shell's own redirect error (proc exited between the
     # glob and the open) is silenced too, not just tr's stderr
-    if (tr '\0' ' ' < "$p/cmdline") 2>/dev/null \
-        | grep -q "fea_tpu train .*--results_dir $RES"; then
+    # fixed-string match with a trailing space so RES=runs/results does
+    # NOT match --results_dir runs/results_v2, and '.' in the path is
+    # not a regex wildcard (tr leaves a trailing space after the last arg)
+    cmd=$( (tr '\0' ' ' < "$p/cmdline") 2>/dev/null ) || continue
+    if printf '%s' "$cmd" | grep -qF "fea_tpu" \
+        && printf '%s' "$cmd" | grep -qF " train " \
+        && printf '%s' "$cmd" | grep -qF -- "--results_dir $RES "; then
       pid=${p#/proc/}
       break
     fi
@@ -38,6 +43,7 @@ while true; do
     # no log from THIS attempt yet: allow compile/init grace
     if [ $((now - start)) -gt "$INIT_GRACE" ]; then
       echo "watchdog: pid $pid no log after $((now - start))s, killing"
+      touch "$RES/.watchdog_killed"
       kill "$pid"
     fi
     continue
@@ -45,6 +51,9 @@ while true; do
   age=$((now - $(stat -c %Y "$newest")))
   if [ "$age" -gt "$STALE" ] && [ $((now - start)) -gt "$STALE" ]; then
     echo "watchdog: pid $pid log stale ${age}s, killing"
+    # marker so the resume loop knows this was a stall kill, not an
+    # OOM/init failure — it must NOT count toward the feed-mode fallback
+    touch "$RES/.watchdog_killed"
     kill "$pid"
   fi
 done
