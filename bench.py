@@ -103,6 +103,9 @@ def main():
     log(
         f"dispatched solves={stats['solves']} cg_failures={stats['failures']} "
         f"({stats['failures'] / max(stats['solves'], 1):.1%} device failure rate); "
+        f"direct_fallbacks={stats.get('direct_fallbacks', 0)} "
+        f"cg_resamples={stats.get('cg_resamples', 0)} "
+        f"({stats.get('cg_resamples', 0) / max(stats['solves'], 1):.1%} resampled vs reference); "
         f"host_rejections={stats.get('host_rejections', 0)} "
         f"continuations={stats.get('continuations', 0)}"
     )
@@ -337,6 +340,8 @@ def main():
         "relative_parity_mae_cantilever": parity_mae,
         "dispatched_solves": stats["solves"],
         "cg_failures": stats.get("cg_failures"),
+        "direct_fallbacks": stats.get("direct_fallbacks"),
+        "cg_resamples": stats.get("cg_resamples"),
         "host_rejections": stats.get("host_rejections"),
         "continuations": stats.get("continuations"),
         "lane_dispatches": stats.get("lane_dispatches"),

@@ -59,34 +59,12 @@ def force_cpu():
 def oracle_solve(problem):
     """The reference's solver, distilled: f64 SuperLU on the
     Dirichlet-reduced system; 'solved' iff no NaN (fea_analysis.py:
-    455-461)."""
-    import numpy as np
-    import scipy.sparse.linalg as spla
+    455-461). Round 5 promoted the implementation into the framework
+    as the production fallback lane for terminal CG failures
+    (fea_tpu/fem/direct.py); this stays as the study's entry point."""
+    from fea_tpu.fem.direct import direct_solve_u1
 
-    from fea_tpu.fem.assembly import assemble_scipy_csr
-    from fea_tpu.fem.elasticity import element_stiffness_np
-
-    n = len(problem.coords)
-    Ke, _B, _D, _area = element_stiffness_np(
-        problem.coords, problem.triangles, problem.young, problem.poisson
-    )
-    K = assemble_scipy_csr(Ke, problem.triangles, n)
-    free = ~np.repeat(problem.fixed_nodes, 2)
-    b = problem.loads.reshape(-1).astype(np.float64)
-    K_ff = K[free][:, free].tocsc()
-    u = np.zeros(2 * n)
-    with warnings.catch_warnings():
-        # SuperLU warns MatrixRankWarning on exact singularity and
-        # returns inf/nan — exactly the reference's failure signature
-        warnings.simplefilter("ignore")
-        try:
-            u_f = spla.spsolve(K_ff, b[free])
-        except Exception:
-            return None, False, False
-    u[free] = u_f
-    finite = bool(np.isfinite(u_f).all())
-    bounded = finite and bool(np.abs(u_f).max() <= 1e6)
-    return u.reshape(n, 2), finite, bounded
+    return direct_solve_u1(problem)
 
 
 def run_study(n_conditions, mesh_size, seed, conditions_per_plate=4,

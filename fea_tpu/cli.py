@@ -91,8 +91,9 @@ def _cmd_generate(args):
             + _json.dumps({
                 k: stats.get(k)
                 for k in (
-                    "plates", "solves", "cg_failures", "continuations",
-                    "host_rejections", "lane_dispatches",
+                    "plates", "solves", "cg_failures", "direct_fallbacks",
+                    "cg_resamples", "continuations", "host_rejections",
+                    "lane_dispatches",
                 )
             })
         )

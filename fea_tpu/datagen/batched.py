@@ -24,6 +24,7 @@ from ..fem.banded import (
     rcm_permutation,
 )
 from ..fem.coarse import build_aggregates, n_coarse_for_bucket
+from ..fem.direct import direct_solve
 from ..fem.problem import (
     SolveResult,
     StaticProblem,
@@ -732,6 +733,18 @@ CONTINUE_RNORM_LIMIT = 1.0
 CONTINUE_PROGRESS_FACTOR = 0.7
 
 
+def _direct_fallback_enabled() -> bool:
+    import os
+
+    return os.environ.get("FEA_TPU_DIRECT_FALLBACK", "1") != "0"
+
+
+# Terminal CG failures fall back to a host f64 SuperLU solve instead of
+# resampling (the reference keeps every finite direct solve,
+# fea_analysis.py:455-461 — see fem/direct.py). Opt out for A/Bs.
+DIRECT_FALLBACK = _direct_fallback_enabled()
+
+
 class _PlateJob:
     """One plate moving through the deferred-retry scheduler."""
 
@@ -873,6 +886,12 @@ def generate_data_batched(
         "host_rejections": 0,
         "singular_resamples": 0,  # alias of host_rejections (bench compat)
         "cg_failures": 0,
+        # of the cg_failures: recovered by the host f64 SuperLU lane
+        # (fem/direct.py) vs actually resampled. The reference resamples
+        # only on a non-finite direct solve, so cg_resamples/solves is
+        # the distribution-divergence rate vs the reference (target <2%).
+        "direct_fallbacks": 0,
+        "cg_resamples": 0,
         "continuations": 0,
         # (rnorm, iterations) of every failed CG lane — distinguishes
         # "stagnated just above accept_tol" (preconditioner/tolerance
@@ -1317,10 +1336,25 @@ def generate_data_batched(
                 stats["failed_lanes"].append(
                     (rnorm, int(result.iterations))
                 )
-                job.retries += 1
                 job.warm[slot] = None
                 job.cont[slot] = 0
                 job.last_rnorm[slot] = None
+                # Terminal CG failure: before resampling, try the host
+                # f64 SuperLU lane — the reference keeps every finite
+                # direct solve (fea_analysis.py:455-461), so resampling
+                # here would thin the ill-conditioned tail of the data
+                # distribution (measured ~10% of oracle-solvable
+                # conditions, docs/screen_oracle.json). <1 s on host,
+                # overlapped with chunks already in flight.
+                if DIRECT_FALLBACK:
+                    with stages.stage("direct_fallback"):
+                        direct = direct_solve(job.pairs[slot][1])
+                    if direct is not None:
+                        job.results[slot] = direct
+                        stats["direct_fallbacks"] += 1
+                        continue
+                stats["cg_resamples"] += 1
+                job.retries += 1
                 with stages.stage("conditions"):
                     pair = (
                         fresh_pair(job.mesh, job.pool)

@@ -357,6 +357,114 @@ def test_batched_continuation_end_to_end(tmp_path, monkeypatch):
             assert np.abs(u1).max() > 0
 
 
+def test_direct_solve_matches_device_kernel():
+    """fem/direct.py (the f64 SuperLU fallback lane) must satisfy the
+    same SolveResult contract as the device kernel: identical
+    displacements (to solver tolerance), el_avg strain/stress, and the
+    linear load ramp u(t_k) = t_k * u1."""
+    from fea_tpu.datagen.conditions import ConditionSampler
+    from fea_tpu.fem.direct import direct_solve
+    from fea_tpu.fem.problem import StaticProblem
+    from fea_tpu.geometry import GeometrySampler
+    from fea_tpu.mesh.mesher import triangulate_polygon
+
+    gs = GeometrySampler(random_seed=7)
+    cs = ConditionSampler(random_seed=7)
+    poly = gs.generate()
+    mesh = triangulate_polygon(poly, mesh_size=0.08)
+    problem = None
+    for c in cs.sample(mesh, 8):
+        p = StaticProblem.from_condition(
+            mesh,
+            material_regions=c["material_regions"],
+            point_constraints=c["point_constraints"],
+            edge_constraints=c["edge_constraints"],
+            point_forces=c["point_forces"],
+            edge_forces=c["edge_forces"],
+            num_steps=4,
+        )
+        if not p.structurally_singular():
+            problem = p
+            break
+    assert problem is not None
+    direct = direct_solve(problem)
+    assert direct is not None
+    assert direct.success
+    n, m = len(mesh.coords), len(mesh.triangles)
+    assert direct.displacements.shape == (4, n, 2)
+    assert direct.strain.shape == (4, m, 3)
+    assert direct.stress.shape == (4, m, 3)
+    # linear ramp: step 0 is zero load, u(t) = t * u1
+    np.testing.assert_allclose(direct.displacements[0], 0.0, atol=0)
+    t = np.linspace(0.0, 1.0, 4)
+    for k in range(4):
+        np.testing.assert_allclose(
+            direct.displacements[k],
+            t[k] * direct.displacements[-1],
+            rtol=1e-12,
+            atol=1e-15,
+        )
+    # agreement with the device CG kernel (f32 + refinement tolerance)
+    device = problem.solve()
+    assert device.success
+    u_dev = np.asarray(device.displacements[-1])
+    u_dir = direct.displacements[-1]
+    scale = max(np.abs(u_dir).max(), 1e-30)
+    assert np.abs(u_dev - u_dir).max() / scale < 1e-3
+    sig_dev = np.asarray(device.stress[-1])
+    sig_scale = max(np.abs(direct.stress[-1]).max(), 1e-30)
+    assert np.abs(sig_dev - direct.stress[-1]).max() / sig_scale < 1e-2
+
+
+def test_direct_fallback_recovers_terminal_cg_failures(
+    tmp_path, monkeypatch
+):
+    """With a starvation CG budget (1 iteration, no continuations) every
+    lane terminally fails CG — the host f64 SuperLU fallback lane must
+    recover them all so NO condition is resampled (reference parity:
+    fea_analysis.py:455-461 keeps every finite direct solve) and the
+    written outputs must be finite and real."""
+    import fea_tpu.datagen.batched as B
+
+    monkeypatch.setattr(B, "ITERS_PER_DISPATCH", 1)
+    monkeypatch.setattr(B, "MAX_CONTINUATIONS", 0)
+    assert B.DIRECT_FALLBACK  # default-on
+
+    data_dir = str(tmp_path / "ddata")
+    stats = B.generate_data_batched(
+        data_dir=data_dir,
+        image_size=96,
+        num_plates=2,
+        conditions_per_plate=2,
+        mesh_size=0.06,
+        holes_per_polygon_range=(0, 1),
+        num_steps_per_condition=3,
+        save_meshes=True,
+        seed=42,
+        batch_size=2,
+        verbose=False,
+    )
+    assert stats["plates"] == 2
+    assert stats["cg_failures"] >= 4, "starvation budget must fail CG"
+    assert stats["direct_fallbacks"] == stats["cg_failures"]
+    assert stats["cg_resamples"] == 0, (
+        "every CG failure is oracle-solvable here; the fallback lane "
+        "must keep the condition instead of resampling"
+    )
+    for plate in ("1", "2"):
+        for cond in ("1", "2"):
+            cdir = os.path.join(data_dir, plate, cond)
+            u1 = read_vtk(os.path.join(cdir, "domain.1.vtk"))["u"]
+            assert np.isfinite(u1).all()
+            assert np.abs(u1).max() > 0
+            # ranges.txt must reflect the fallback solution (the dataset
+            # decode contract), not zeros from the failed CG lane
+            with open(os.path.join(cdir, "ranges.txt")) as f:
+                lines = [l.strip().split(":") for l in f.readlines()]
+            lo, hi = eval(lines[0][1])
+            assert np.isfinite([lo, hi]).all()
+
+
 def test_flat_chunk_kernel_matches_vmapped(monkeypatch):
     """The flat super-mesh chunk kernel (fem/flatgroup.py: plates folded
     into one block-diagonal system, segmented CG) must match the
