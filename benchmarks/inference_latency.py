@@ -99,21 +99,45 @@ def main():
         )
         return ((image + 1.0) / 2.0 * (geometry + 1.0) / 2.0) * 2.0 - 1.0
 
-    def bench_batch(b, n_timed=20):
+    def bench_batch_fetch(b, n_timed=50):
+        """Time n_timed CHAINED forwards closed by a 1-element fetch,
+        minus the measured pure-RTT baseline.
+
+        block_until_ready is NOT trustworthy on the tunneled runtime
+        (it returned 0.01 ms/fwd for chained b1 forwards whose FLOPs
+        need >=0.9 ms at 100% MFU); only a host fetch provably waits
+        for execution. The forwards are chained through a data
+        dependency (the predicted image IS materials-shaped) so XLA
+        cannot elide any, and n_timed=50 dwarfs RTT jitter."""
+        # pure tunnel-RTT baseline: fetch one element of a READY buffer
+        ready = jnp.zeros((1, 1), jnp.float32) + 1.0
+        np.asarray(ready)
+        rtt = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(ready)
+            rtt = min(rtt, time.perf_counter() - t0)
+
         batch = init_batch(b)
-        out = predict(params, *batch)
-        jax.block_until_ready(out)
+
+        @jax.jit
+        def chain(params, materials, conditions, geometry):
+            def body(m, _):
+                return predict(params, m, conditions, geometry), None
+
+            out, _ = jax.lax.scan(body, materials, None, length=n_timed)
+            return out[:1, :1, :1, :1]
+
+        np.asarray(chain(params, *batch))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            o = None
-            for _ in range(n_timed):
-                o = predict(params, *batch)
-            jax.block_until_ready(o)
-            best = min(best, (time.perf_counter() - t0) / n_timed)
-        return best, out
+            np.asarray(chain(params, *batch))
+            wall = time.perf_counter() - t0
+            best = min(best, max(wall - rtt, 0.0) / n_timed)
+        return best
 
-    t_b1, out1 = bench_batch(1)
+    t_b1 = bench_batch_fetch(1)
 
     # batch-1 wall including the device->host fetch of the prediction
     best_fetch = float("inf")
@@ -123,7 +147,7 @@ def main():
         np.asarray(predict(params, *b1))
         best_fetch = min(best_fetch, time.perf_counter() - t0)
 
-    t_bN, _ = bench_batch(B)
+    t_bN = bench_batch_fetch(B, n_timed=20)
 
     result = {
         "image_size": S,

@@ -218,7 +218,11 @@ def predict_with_surrogate(
 ) -> Dict:
     """Run a trained FDN-UNet on the app's rendered inputs
     (generateapplication.ipynb cells 8-18) and score it."""
+    import time
+
     import jax.numpy as jnp
+
+    t_start = time.perf_counter()
 
     from ..data.dataset import to_signed
     from ..train.trainer import Trainer, TrainerConfig
@@ -312,6 +316,7 @@ def predict_with_surrogate(
         )
         params = ema
 
+    t_weights = time.perf_counter()
     conditions = jnp.concatenate(
         [jnp.asarray(batch["forces"]), jnp.asarray(batch["constraints"])],
         axis=-1,
@@ -325,6 +330,7 @@ def predict_with_surrogate(
     geometry = jnp.asarray(batch["geometry"])
     image = ((image + 1.0) / 2.0 * (geometry + 1.0) / 2.0) * 2.0 - 1.0
     image = np.asarray(image)[0]
+    t_predicted = time.perf_counter()
 
     for axis, ch in (("x", 0), ("y", 1)):
         img = np.round((1.0 - (image[:, :, ch] + 1.0) / 2.0) * 255).astype(
@@ -361,4 +367,20 @@ def predict_with_surrogate(
         mesh.triangles,
         point_data={"u": pred_nodes},
     )
-    return {"pred_mae": mae, "pred_mse": mse, "pred_rmse": rmse}
+    t_end = time.perf_counter()
+    return {
+        "pred_mae": mae,
+        "pred_mse": mse,
+        "pred_rmse": rmse,
+        # end-to-end serve timing: rendering the model inputs from the
+        # mesh, checkpoint restore, forward (incl. one-time jit compile
+        # + the tunneled fetch), PNG decode + scoring + VTK writeback
+        "predict_wall_s": {
+            "render_inputs_and_restore": round(t_weights - t_start, 2),
+            "forward_incl_compile_and_fetch": round(
+                t_predicted - t_weights, 2
+            ),
+            "decode_score_writeback": round(t_end - t_predicted, 2),
+            "total": round(t_end - t_start, 2),
+        },
+    }
