@@ -301,8 +301,12 @@ def main():
     # the reference's NaN check would have kept; at the bounded bar
     # (|u| <= 1e6) this should be ~0 — see benchmarks/screen_oracle.py
     # and docs/screen_oracle.json for the full 500-condition study.
+    # n=128: at n=32 a 3x regression in bounded false-rejects is
+    # indistinguishable from zero (round-4 VERDICT weak #3); 128 draws
+    # put ~1.3 expected bounded false-rejects in the sample at the
+    # studied 1.33% rate, so a 3x regression reads ~4 events.
     screen = None
-    n_oracle = int(os.environ.get("FEA_TPU_BENCH_ORACLE", "32"))
+    n_oracle = int(os.environ.get("FEA_TPU_BENCH_ORACLE", "128"))
     if n_oracle > 0:
         try:
             import subprocess
