@@ -68,3 +68,14 @@ for ema_flag in "" "--use_ema"; do
     --image_size 256 --num_plates "$EVAL_PLATES" --conditions_per_plate 4 \
     --steps_per_condition 6
 done
+
+# Application workflow with the trained surrogate (the reference's
+# "serve" analog, generateapplication.ipynb): per-app GT solve +
+# surrogate prediction + accuracy, so the serve artifact is regenerated
+# whenever the model is (runs* does not survive VM resets).
+for app in cantilever gusset shearblade; do
+  echo "=== app $app ==="
+  timeout 3600 python -m fea_tpu app "$app" \
+    --output_dir "$ROOT/app_eval/$app" \
+    --checkpoint "$RES/model-best" --use_ema || echo "app $app failed"
+done

@@ -1194,7 +1194,7 @@ def generate_data_batched(
         stats["chunks"] = stats.get("chunks", 0) + 1
         if verbose and stats["chunks"] % 10 == 1:
             try:
-                ms = jax.devices()[0].memory_stats() or {}
+                ms = jax.local_devices()[0].memory_stats() or {}
                 print(
                     f"hbm: in_use={ms.get('bytes_in_use', -1) / 1e9:.2f}GB "
                     f"peak={ms.get('peak_bytes_in_use', -1) / 1e9:.2f}GB "

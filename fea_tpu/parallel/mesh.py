@@ -53,11 +53,25 @@ def make_mesh(
             # slice (ICI) and only the outer axis crosses DCN
             from jax.experimental import mesh_utils
 
-            dev_grid = mesh_utils.create_hybrid_device_mesh(
-                mesh_shape=(1, per),
-                dcn_mesh_shape=(dcn_size, 1),
-                devices=devices,
-            )
+            try:
+                dev_grid = mesh_utils.create_hybrid_device_mesh(
+                    mesh_shape=(1, per),
+                    dcn_mesh_shape=(dcn_size, 1),
+                    devices=devices,
+                )
+            except ValueError:
+                # Non-TPU backends report ONE slice for every device
+                # regardless of process (CPU/gloo: slice_index is 0
+                # everywhere), so the slice-granule grouping cannot see
+                # the process boundary. Group by process_index directly —
+                # for a one-slice-per-host deployment this is the same
+                # layout the hybrid helper would produce ('dp' neighbours
+                # share a host, only 'dcn' crosses processes). Found by
+                # the real 2-process run (benchmarks/multiprocess_smoke.py).
+                by_proc = sorted(
+                    devices, key=lambda d: (d.process_index, d.id)
+                )
+                dev_grid = np.asarray(by_proc).reshape(dcn_size, per)
         else:
             dev_grid = np.asarray(devices[:n]).reshape(dcn_size, per)
         names = ("dcn",) + tuple(axis_names)

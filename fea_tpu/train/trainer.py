@@ -882,35 +882,43 @@ class Trainer:
     def save_checkpoint(self, milestone):
         import orbax.checkpoint as ocp
 
-        # params/opt-state are replicated (every process holds a full
-        # copy), so the main host alone writes the checkpoint; the
-        # barrier keeps other hosts from racing into the next milestone
-        # rotation (reference wait_for_everyone + is_main_process,
+        # The milestone rotation / deletion is filesystem juggling — main
+        # host only; the barrier keeps other hosts from racing into it
+        # (reference wait_for_everyone + is_main_process,
         # diffusion.py:567, 613).
         sync_processes(f"save_checkpoint_{milestone}")
-        if not self.is_main:
-            return
-
-        if milestone == "latest":
-            # rotate latest -> latest-prev (reference diffusion.py:647-668)
-            prev_dir = self._ckpt_dir("latest-prev")
-            prev_zip = self.results_folder / "model-latest-prev.zip"
-            for p in (prev_dir, prev_zip):
-                if p.exists():
-                    shutil.rmtree(p) if p.is_dir() else p.unlink()
-            cur_dir = self._ckpt_dir("latest")
-            cur_zip = self.results_folder / "model-latest.zip"
-            if cur_dir.exists():
-                cur_dir.rename(prev_dir)
-            if cur_zip.exists():
-                cur_zip.rename(prev_zip)
-        else:
-            self.delete_checkpoint_if_exists(milestone)
+        if self.is_main:
+            if milestone == "latest":
+                # rotate latest -> latest-prev (reference
+                # diffusion.py:647-668)
+                prev_dir = self._ckpt_dir("latest-prev")
+                prev_zip = self.results_folder / "model-latest-prev.zip"
+                for p in (prev_dir, prev_zip):
+                    if p.exists():
+                        shutil.rmtree(p) if p.is_dir() else p.unlink()
+                cur_dir = self._ckpt_dir("latest")
+                cur_zip = self.results_folder / "model-latest.zip"
+                if cur_dir.exists():
+                    cur_dir.rename(prev_dir)
+                if cur_zip.exists():
+                    cur_zip.rename(prev_zip)
+            else:
+                self.delete_checkpoint_if_exists(milestone)
 
         path = self._ckpt_dir(milestone).absolute()
         state = jax.device_get(self.state)
+        # EVERY process calls save: orbax's Checkpointer.save runs
+        # internal sync_global_processes barriers that need all processes
+        # to participate, and only process 0 writes bytes
+        # (NumpyHandler._background_serialize gates on
+        # process_index()==0). Gating this call to the main process
+        # deadlocks it against the others — found by the REAL 2-process
+        # run (benchmarks/multiprocess_smoke.py); the mocked tests could
+        # not see it.
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, state)
+        if not self.is_main:
+            return
 
         # zip artifact alongside the directory (reference zips + deletes the
         # dir, diffusion.py:623-631; we keep the dir for fast resume and add

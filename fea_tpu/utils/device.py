@@ -41,6 +41,11 @@ def raster_device() -> Optional[jax.Device]:
     if policy == "accel":
         return None
     try:
-        return jax.devices("cpu")[0]
+        # local_devices, not devices: under a multi-process runtime
+        # jax.devices() is the GLOBAL list and [0] can be another
+        # process's (non-addressable) device — placing the raster kernel
+        # there makes the result unfetchable (found by the real
+        # 2-process run, benchmarks/multiprocess_smoke.py).
+        return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         return None

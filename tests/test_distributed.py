@@ -131,13 +131,44 @@ def test_make_mesh_rejects_indivisible_dcn():
         make_mesh(8, dcn_size=3)
 
 
-def test_save_checkpoint_gated_off_main(tmp_path, monkeypatch):
-    """A non-main host returns from save_checkpoint before touching
-    disk (reference diffusion.py:613)."""
+def test_save_checkpoint_nonmain_participates_without_writing(
+    tmp_path, monkeypatch
+):
+    """A non-main host still CALLS the orbax save — its internal
+    sync_global_processes barriers need every process, so gating the
+    call off-main deadlocks process 0 (found by the REAL 2-process run,
+    benchmarks/multiprocess_smoke.py) — but does none of the trainer's
+    own filesystem work: no rotation/deletion, no zip artifact. Orbax
+    itself writes bytes only on process 0 (NumpyHandler gates on
+    multihost.process_index()==0). Reference analog: every Accelerate
+    rank enters save() and the library gates the write
+    (diffusion.py:613)."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
     from fea_tpu.train.trainer import Trainer
 
-    fake = SimpleNamespace(is_main=False, results_folder=tmp_path)
+    calls = []
+
+    class RecordingCkptr:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def save(self, path, state):
+            calls.append(path)
+
+    monkeypatch.setattr(ocp, "PyTreeCheckpointer", RecordingCkptr)
+    fake = SimpleNamespace(
+        is_main=False,
+        results_folder=tmp_path,
+        state={"p": np.zeros((2,), np.float32)},
+        _ckpt_dir=lambda m: tmp_path / f"model-{m}",
+    )
     Trainer.save_checkpoint(fake, "best")
+    assert calls, "non-main must participate in the orbax save barriers"
     assert list(tmp_path.iterdir()) == []
 
 
