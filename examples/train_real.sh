@@ -55,7 +55,11 @@ DATA="$DATA" EVAL="$EVAL" RES="$RES" STEPS="$STEPS" BS="$BS" \
 # Score the best checkpoint raw and through the EMA weights; keep the
 # winner (the reference notebooks sample through ema_pytorch.EMA,
 # generateapplication.ipynb cell 16).
-for ema_flag in "" "--use_ema"; do
+# SKIP_RAW_EVAL=1 evaluates only through EMA (it beat raw decisively in
+# round 4: 0.0136 vs 0.0144-raw-best) when the round budget is tight.
+EVAL_FLAGS=("" "--use_ema")
+if [ "${SKIP_RAW_EVAL:-0}" = 1 ]; then EVAL_FLAGS=("--use_ema"); fi
+for ema_flag in "${EVAL_FLAGS[@]}"; do
   timeout 3600 python -m fea_tpu sample --milestone best \
     --data_dir "$DATA" --sample_data_dir "$EVAL" \
     --image_size 256 --batch_size "$BS" \
@@ -73,6 +77,7 @@ done
 # "serve" analog, generateapplication.ipynb): per-app GT solve +
 # surrogate prediction + accuracy, so the serve artifact is regenerated
 # whenever the model is (runs* does not survive VM resets).
+if [ "${SKIP_APPS:-0}" = 1 ]; then exit 0; fi
 for app in cantilever gusset shearblade; do
   echo "=== app $app ==="
   timeout 3600 python -m fea_tpu app "$app" \
