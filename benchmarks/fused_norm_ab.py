@@ -156,11 +156,14 @@ def main():
             row["fused_fwd_ms"] = round(t * 1e3, 3)
             row["fused_fwd_gbps"] = round(bytes_fwd_floor / t / 1e9, 1)
             row["fwd_speedup"] = round(row["xla_fwd_ms"] / row["fused_fwd_ms"], 2)
-            t = bench(chain_grad(fused), x, gamma, beta)
-            row["fused_grad_ms"] = round(t * 1e3, 3)
-            row["grad_speedup"] = round(
-                row["xla_grad_ms"] / row["fused_grad_ms"], 2
-            )
+            if fits_vmem(hw, c, 2, 3):  # bwd holds x + dy + dx
+                t = bench(chain_grad(fused), x, gamma, beta)
+                row["fused_grad_ms"] = round(t * 1e3, 3)
+                row["grad_speedup"] = round(
+                    row["xla_grad_ms"] / row["fused_grad_ms"], 2
+                )
+            else:
+                row["fused_grad"] = "skipped: bwd blocks exceed VMEM budget"
             # numeric agreement at this shape
             y0 = xla_gn_silu(x, gamma, beta).astype(jnp.float32)
             y1 = fused(x, gamma, beta).astype(jnp.float32)
