@@ -29,6 +29,14 @@ flagship's stage-1 shape (256^2 x 64, bf16) the backward does not fit
 one v5e core's ~16 MB VMEM, so `fits_vmem` gates callers; the A/B study
 (benchmarks/fused_norm_ab.py, results in docs/fused_norm_ab.json)
 measures where the fusion actually pays vs the XLA lowering.
+
+A/B OUTCOME (2026-08-20, tunneled v5e; docs/PERFORMANCE.md "Fused
+GroupNorm+SiLU Pallas kernel"): REJECTED for the production model. The
+two stage shapes carrying ~80% of the norm-chain HBM traffic do not fit
+the VMEM budget at all, and at the deep stages where it fits the chain
+is VPU/launch-bound, not HBM-bound, so the saved pass moves nothing
+(0.91-1.02x). Kept in-tree as tested Pallas infrastructure; the model
+uses the stock XLA lowering (models/blocks.py).
 """
 
 import functools
