@@ -115,11 +115,16 @@ print(
 
 
 def timed_dispatch(pl_, iters):
+    # block_until_ready does NOT synchronize remote execution on the
+    # tunneled axon backend (measured: t@10 == t@160 == 0.022 s); only a
+    # device->host fetch does — same reason bench.py times via fetches.
+    # Fetch one scalar tail per lane: constant across K, cancels in the
+    # slope.
     t0 = time.time()
     tok = dispatch_plate_group(
         pl_, pad_group_to=n_plates, tol=1e-30, max_iters=iters
     )
-    tok.block_until_ready()
+    np.asarray(jax.device_get(tok[:, :, -1]))
     return time.time() - t0
 
 
@@ -142,13 +147,20 @@ for name, env, nc_override in CONFIGS:
     try:
         timed_dispatch(payloads, K_LO)  # compile both programs
         timed_dispatch(payloads, K_HI)
-        best = np.inf
-        for _ in range(2):  # best-of-2: tunnel hangs poison single runs
-            t_lo = timed_dispatch(payloads, K_LO)
-            t_hi = timed_dispatch(payloads, K_HI)
-            best = min(best, (t_hi - t_lo) / (K_HI - K_LO))
-        results[name] = best * 1e3
-        print(f"{name:>16}: {best * 1e3:.3f} ms/iteration", file=sys.stderr)
+        # Tunnel noise (±100 ms spikes on any rpc) swamps a per-pair
+        # slope: min over (t_hi - t_lo) pairs goes NEGATIVE whenever one
+        # t_lo spikes (measured: every config read -0.04..0 ms/iter at
+        # 4 plates). Take the min over repeats PER K — the noise floor
+        # of each endpoint — then one slope between the two floors.
+        t_lo = min(timed_dispatch(payloads, K_LO) for _ in range(4))
+        t_hi = min(timed_dispatch(payloads, K_HI) for _ in range(4))
+        slope = (t_hi - t_lo) / (K_HI - K_LO)
+        results[name] = slope * 1e3
+        print(
+            f"{name:>16}: {slope * 1e3:.3f} ms/iteration "
+            f"(t@{K_LO}={t_lo:.3f}s t@{K_HI}={t_hi:.3f}s)",
+            file=sys.stderr,
+        )
     finally:
         for (s, _), v in zip(payloads, saved):
             s.n_coarse = v
