@@ -129,12 +129,16 @@ def timed_dispatch(pl_, iters):
 
 
 CONFIGS = [
-    ("block=0", {"FEA_TPU_BAND_BLOCK": "0"}, None),
-    ("block=256", {"FEA_TPU_BAND_BLOCK": "256"}, None),
-    ("block=512", {"FEA_TPU_BAND_BLOCK": "512"}, None),
-    ("block=256 nc=0", {"FEA_TPU_BAND_BLOCK": "256"}, 0),
-    ("block=0 nc=0", {"FEA_TPU_BAND_BLOCK": "0"}, 0),
+    ("block=0", {"FEA_TPU_BAND_BLOCK": "0", "FEA_TPU_COARSE_FUSED": "0"}, None),
+    ("block=0 fused", {"FEA_TPU_BAND_BLOCK": "0", "FEA_TPU_COARSE_FUSED": "1"}, None),
+    ("block=256", {"FEA_TPU_BAND_BLOCK": "256", "FEA_TPU_COARSE_FUSED": "0"}, None),
+    ("block=512", {"FEA_TPU_BAND_BLOCK": "512", "FEA_TPU_COARSE_FUSED": "0"}, None),
+    ("block=256 nc=0", {"FEA_TPU_BAND_BLOCK": "256", "FEA_TPU_COARSE_FUSED": "0"}, 0),
+    ("block=0 nc=0", {"FEA_TPU_BAND_BLOCK": "0", "FEA_TPU_COARSE_FUSED": "0"}, 0),
 ]
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+if only:
+    CONFIGS = [c for c in CONFIGS if c[0] in only]
 
 results = {}
 for name, env, nc_override in CONFIGS:

@@ -61,6 +61,18 @@ def _band_block() -> int:
     return int(os.environ.get("FEA_TPU_BAND_BLOCK", "0"))
 
 
+def _coarse_fused() -> bool:
+    """Fused (N,3) restriction/prolongation in the flat kernel's coarse
+    apply (one scatter-add + one gather instead of 3 + 3). The segment
+    ops are 48% of the shipped per-iteration cost
+    (benchmarks/iteration_profile.py); FEA_TPU_COARSE_FUSED toggles the
+    A/B. Read per dispatch: it lands in the kernel's static kwargs, so
+    toggling forces the distinct compilation it needs."""
+    import os
+
+    return os.environ.get("FEA_TPU_COARSE_FUSED", "0") != "0"
+
+
 # Hard cap on the banded half-bandwidth. The band buffer is
 # n_dofs x (2*hb + BAND_R) floats PER LANE (fem/banded.py): at the
 # production node bucket (8192) that is ~42 MB/lane at hb 256 but
@@ -551,12 +563,12 @@ def dispatch_plate_group(
         from ..fem.flatgroup import flat_group_body, solve_flat_group_kernel
 
         m_real_p = None
-        kwf = kw
+        kwf = dict(kw, coarse_fused=_coarse_fused())
         if band_hb > 0:
             m_real_p = jnp.asarray(
                 [s.m for s, _ in payloads], dtype=jnp.int32
             )
-            kwf = dict(kw, band_block=_band_block())
+            kwf = dict(kwf, band_block=_band_block())
         if sharding is None:
             return solve_flat_group_kernel(
                 *args, m_real_p=m_real_p, band_hb=band_hb, **kwf

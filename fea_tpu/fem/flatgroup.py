@@ -150,6 +150,7 @@ def coarse_apply_flat(
     r_planar: jnp.ndarray,  # (2*P*Nb,) comp-major
     P: int,
     n_coarse: int,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """z = P Kc^-1 P^T r with flat shared-index segment ops and one
     batched dense matvec per plate."""
@@ -160,6 +161,21 @@ def coarse_apply_flat(
     armx = arms[:, 0].astype(dtype)
     army = arms[:, 1].astype(dtype)
     nseg = P * n_coarse
+    if fused:
+        # One (N,3) scatter-add + one (N,3) gather instead of 3 + 3:
+        # the segment ops are 48% of the shipped iteration cost
+        # (benchmarks/iteration_profile.py) and XLA does not fuse
+        # sibling scatters on its own.
+        payload = jnp.stack(
+            [rx, ry, -army * rx + armx * ry], axis=1
+        )  # (N, 3)
+        rc = jax.ops.segment_sum(payload, agg_ids, num_segments=nseg)
+        rc = rc.reshape(P, 3 * n_coarse)  # (nseg,3) rows are [3a+m]
+        zc = jnp.einsum("pij,pj->pi", Kc_inv, rc, precision=_HIGH)
+        g = zc.reshape(nseg, 3)[agg_ids]  # (N, 3)
+        zx = g[:, 0] - army * g[:, 2]
+        zy = g[:, 1] + armx * g[:, 2]
+        return jnp.concatenate([zx, zy])
     s0 = jax.ops.segment_sum(rx, agg_ids, num_segments=nseg)
     s1 = jax.ops.segment_sum(ry, agg_ids, num_segments=nseg)
     s2 = jax.ops.segment_sum(-army * rx + armx * ry, agg_ids, num_segments=nseg)
@@ -195,6 +211,7 @@ def flat_group_body(
     include_cell_fields: bool = True,
     band_hb: int = 0,
     band_block: int = 0,
+    coarse_fused: bool = False,
 ):
     """One device program for a whole chunk. Same argument contract as
     the sharded multi-plate kernel (datagen/batched.py), same output:
@@ -300,7 +317,8 @@ def flat_group_body(
                 ).reshape(-1)
             if Kc_inv is not None:
                 z = z + coarse_apply_flat(
-                    Kc_inv, agg_ids, arms, r, P, n_coarse
+                    Kc_inv, agg_ids, arms, r, P, n_coarse,
+                    fused=coarse_fused,
                 )
             return z * free_planar
 
@@ -357,6 +375,6 @@ solve_flat_group_kernel = jax.jit(
     flat_group_body,
     static_argnames=(
         "n_coarse", "tol", "max_iters", "accept_tol", "restarts",
-        "include_cell_fields", "band_hb", "band_block",
+        "include_cell_fields", "band_hb", "band_block", "coarse_fused",
     ),
 )
