@@ -128,13 +128,22 @@ def timed_dispatch(pl_, iters):
     return time.time() - t0
 
 
+_OFF = {
+    "FEA_TPU_BAND_BLOCK": "0",
+    "FEA_TPU_COARSE_FUSED": "0",
+    "FEA_TPU_COARSE_BLOCK": "0",
+}
 CONFIGS = [
-    ("block=0", {"FEA_TPU_BAND_BLOCK": "0", "FEA_TPU_COARSE_FUSED": "0"}, None),
-    ("block=0 fused", {"FEA_TPU_BAND_BLOCK": "0", "FEA_TPU_COARSE_FUSED": "1"}, None),
-    ("block=256", {"FEA_TPU_BAND_BLOCK": "256", "FEA_TPU_COARSE_FUSED": "0"}, None),
-    ("block=512", {"FEA_TPU_BAND_BLOCK": "512", "FEA_TPU_COARSE_FUSED": "0"}, None),
-    ("block=256 nc=0", {"FEA_TPU_BAND_BLOCK": "256", "FEA_TPU_COARSE_FUSED": "0"}, 0),
-    ("block=0 nc=0", {"FEA_TPU_BAND_BLOCK": "0", "FEA_TPU_COARSE_FUSED": "0"}, 0),
+    ("block=0", _OFF, None),
+    ("block=0 fused", dict(_OFF, FEA_TPU_COARSE_FUSED="1"), None),
+    ("block=256", dict(_OFF, FEA_TPU_BAND_BLOCK="256"), None),
+    ("block=512", dict(_OFF, FEA_TPU_BAND_BLOCK="512"), None),
+    ("block=256 nc=0", dict(_OFF, FEA_TPU_BAND_BLOCK="256"), 0),
+    ("block=0 nc=0", _OFF, 0),
+    # blkagg rebuilds the payloads: FEA_TPU_COARSE_BLOCK is consulted at
+    # PlateSolver table build (contiguous equal-size RCM blocks), not
+    # only at dispatch (fem/coarse.build_block_aggregates).
+    ("blkagg", dict(_OFF, FEA_TPU_COARSE_BLOCK="1"), None),
 ]
 only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 if only:
@@ -144,20 +153,26 @@ results = {}
 for name, env, nc_override in CONFIGS:
     for k, v in env.items():
         os.environ[k] = v
-    saved = [s.n_coarse for s, _ in payloads]
+    pl = payloads
+    if env.get("FEA_TPU_COARSE_BLOCK") == "1":
+        # Blocked aggregates are baked into the PlateSolver tables at
+        # build time; rebuild under the env so both build and dispatch
+        # see it. Same meshes/buckets -> identical shapes, fair A/B.
+        pl = build_payloads()
+    saved = [s.n_coarse for s, _ in pl]
     if nc_override is not None:
-        for s, _ in payloads:
+        for s, _ in pl:
             s.n_coarse = nc_override
     try:
-        timed_dispatch(payloads, K_LO)  # compile both programs
-        timed_dispatch(payloads, K_HI)
+        timed_dispatch(pl, K_LO)  # compile both programs
+        timed_dispatch(pl, K_HI)
         # Tunnel noise (±100 ms spikes on any rpc) swamps a per-pair
         # slope: min over (t_hi - t_lo) pairs goes NEGATIVE whenever one
         # t_lo spikes (measured: every config read -0.04..0 ms/iter at
         # 4 plates). Take the min over repeats PER K — the noise floor
         # of each endpoint — then one slope between the two floors.
-        t_lo = min(timed_dispatch(payloads, K_LO) for _ in range(4))
-        t_hi = min(timed_dispatch(payloads, K_HI) for _ in range(4))
+        t_lo = min(timed_dispatch(pl, K_LO) for _ in range(4))
+        t_hi = min(timed_dispatch(pl, K_HI) for _ in range(4))
         slope = (t_hi - t_lo) / (K_HI - K_LO)
         results[name] = slope * 1e3
         print(
@@ -166,7 +181,7 @@ for name, env, nc_override in CONFIGS:
             file=sys.stderr,
         )
     finally:
-        for (s, _), v in zip(payloads, saved):
+        for (s, _), v in zip(pl, saved):
             s.n_coarse = v
 
 print({"ms_per_iteration": {k: round(v, 4) for k, v in results.items()},

@@ -23,7 +23,11 @@ from ..fem.banded import (
     quantize_hb,
     rcm_permutation,
 )
-from ..fem.coarse import build_aggregates, n_coarse_for_bucket
+from ..fem.coarse import (
+    build_aggregates,
+    build_block_aggregates,
+    n_coarse_for_bucket,
+)
 from ..fem.direct import direct_solve
 from ..fem.problem import (
     SolveResult,
@@ -71,6 +75,20 @@ def _coarse_fused() -> bool:
     import os
 
     return os.environ.get("FEA_TPU_COARSE_FUSED", "0") != "0"
+
+
+def _coarse_block() -> bool:
+    """Block (contiguous equal-size) aggregation for the coarse space on
+    the RCM-banded path: restriction/prolongation become reshapes — zero
+    segment/gather ops in the CG hot loop (fem/coarse.py
+    build_block_aggregates + flatgroup.coarse_apply_flat blocked path).
+    FEA_TPU_COARSE_BLOCK=0 opts out (geometric grid-bin aggregates).
+    Consulted both at PlateSolver table build and at dispatch; the
+    dispatch flag additionally requires band_hb > 0, which is exactly
+    when the solver built blocked tables, so the pair cannot skew."""
+    import os
+
+    return os.environ.get("FEA_TPU_COARSE_BLOCK", "0") != "0"
 
 
 # Hard cap on the banded half-bandwidth. The band buffer is
@@ -325,9 +343,21 @@ class PlateSolver:
         # Coarse rigid-body-mode space (condition-independent, per plate;
         # a pure function of node_bucket so grouped plates share shapes).
         self.n_coarse = n_coarse_for_bucket(self.node_bucket)
-        space = build_aggregates(
-            coords_s, self.n_coarse, n_real=self.n
-        )
+        if (
+            _coarse_block()
+            and self._perm is not None
+            and self.node_bucket % self.n_coarse == 0
+        ):
+            # RCM order on device -> contiguous blocks are BFS level-set
+            # neighborhoods; the flat kernel's coarse apply then runs
+            # scatter/gather-free (coarse_apply_flat blocked path).
+            space = build_block_aggregates(
+                coords_s, self.n_coarse, n_real=self.n
+            )
+        else:
+            space = build_aggregates(
+                coords_s, self.n_coarse, n_real=self.n
+            )
         self.agg_dev = jnp.asarray(space.agg_ids)
         self.arms_dev = jnp.asarray(space.arms, self.dtype)
 
@@ -568,7 +598,13 @@ def dispatch_plate_group(
             m_real_p = jnp.asarray(
                 [s.m for s, _ in payloads], dtype=jnp.int32
             )
-            kwf = dict(kwf, band_block=_band_block())
+            kwf = dict(
+                kwf,
+                band_block=_band_block(),
+                # blocked tables exist exactly when the solver was built
+                # banded (perm set <=> band_hb > 0) under the same env
+                coarse_blocked=_coarse_block(),
+            )
         if sharding is None:
             return solve_flat_group_kernel(
                 *args, m_real_p=m_real_p, band_hb=band_hb, **kwf

@@ -105,6 +105,46 @@ def build_aggregates(
     return CoarseSpace(agg_ids=agg_ids, arms=arms, n_coarse=n_coarse)
 
 
+def build_block_aggregates(
+    coords: np.ndarray,
+    n_coarse: int,
+    n_real: Optional[int] = None,
+) -> CoarseSpace:
+    """Aggregate = contiguous block of the CURRENT node order.
+
+    Built for the RCM-permuted banded path: consecutive RCM nodes are
+    BFS level-set neighbors, so fixed-size blocks are spatially coherent
+    aggregates — and because they are contiguous and equal-sized, the
+    CG hot loop's restriction/prolongation become pure reshapes +
+    row-sums/broadcasts with ZERO segment/gather ops (the 48%/iteration
+    cost measured by benchmarks/iteration_profile.py; see
+    coarse_apply_flat's `blocked` path). Requires len(coords) % n_coarse
+    == 0 — true for every SHAPE_BUCKETS/n_coarse_for_bucket pair.
+
+    Ghost padding nodes (beyond `n_real`) fall into the tail blocks;
+    they get zero arms and are excluded from block centroids so they
+    cannot poison a straddling block's rotation mode (they are always
+    Dirichlet-fixed, so they contribute nothing to Kc or the residual)."""
+    coords = np.asarray(coords, np.float64)
+    n = len(coords)
+    if n_real is None:
+        n_real = n
+    assert n % n_coarse == 0, (n, n_coarse)
+    B = n // n_coarse
+    agg_ids = (np.arange(n, dtype=np.int32) // B).astype(np.int32)
+    real = np.zeros(n, bool)
+    real[:n_real] = True
+    w = real.astype(np.float64)
+    counts = w.reshape(n_coarse, B).sum(axis=1)  # real members per block
+    sums = (coords * w[:, None]).reshape(n_coarse, B, 2).sum(axis=1)
+    centroids = sums / np.maximum(counts, 1.0)[:, None]
+    arms = np.zeros((n, 2), dtype=np.float32)
+    arms[:n_real] = (
+        coords[:n_real] - np.repeat(centroids, B, axis=0)[:n_real]
+    ).astype(np.float32)
+    return CoarseSpace(agg_ids=agg_ids, arms=arms, n_coarse=n_coarse)
+
+
 def build_coarse_matrix(
     Ke: jnp.ndarray,  # (6,6,M) element-minor, dof order (x0,y0,x1,y1,x2,y2)
     triangles: jnp.ndarray,  # (M,3)

@@ -151,9 +151,16 @@ def coarse_apply_flat(
     P: int,
     n_coarse: int,
     fused: bool = False,
+    blocked: bool = False,
 ) -> jnp.ndarray:
     """z = P Kc^-1 P^T r with flat shared-index segment ops and one
-    batched dense matvec per plate."""
+    batched dense matvec per plate.
+
+    `blocked=True` requires agg_ids == arange(N) // B (contiguous
+    equal-size aggregates, fem/coarse.build_block_aggregates): the
+    segment ops — 48% of the shipped iteration cost
+    (benchmarks/iteration_profile.py) — collapse into reshape row-sums
+    and broadcasts, zero scatter/gather in the CG hot loop."""
     n = agg_ids.shape[0]
     dtype = r_planar.dtype
     rx = r_planar[:n]
@@ -161,6 +168,18 @@ def coarse_apply_flat(
     armx = arms[:, 0].astype(dtype)
     army = arms[:, 1].astype(dtype)
     nseg = P * n_coarse
+    if blocked:
+        B = n // nseg
+        s0 = rx.reshape(nseg, B).sum(axis=1)
+        s1 = ry.reshape(nseg, B).sum(axis=1)
+        s2 = (-army * rx + armx * ry).reshape(nseg, B).sum(axis=1)
+        rc = jnp.stack([s0, s1, s2], axis=1).reshape(P, 3 * n_coarse)
+        zc = jnp.einsum("pij,pj->pi", Kc_inv, rc, precision=_HIGH)
+        zc3 = zc.reshape(nseg, 3)
+        g = jnp.broadcast_to(zc3[:, None, :], (nseg, B, 3)).reshape(n, 3)
+        zx = g[:, 0] - army * g[:, 2]
+        zy = g[:, 1] + armx * g[:, 2]
+        return jnp.concatenate([zx, zy])
     if fused:
         # One (N,3) scatter-add + one (N,3) gather instead of 3 + 3:
         # the segment ops are 48% of the shipped iteration cost
@@ -212,6 +231,7 @@ def flat_group_body(
     band_hb: int = 0,
     band_block: int = 0,
     coarse_fused: bool = False,
+    coarse_blocked: bool = False,
 ):
     """One device program for a whole chunk. Same argument contract as
     the sharded multi-plate kernel (datagen/batched.py), same output:
@@ -318,7 +338,7 @@ def flat_group_body(
             if Kc_inv is not None:
                 z = z + coarse_apply_flat(
                     Kc_inv, agg_ids, arms, r, P, n_coarse,
-                    fused=coarse_fused,
+                    fused=coarse_fused, blocked=coarse_blocked,
                 )
             return z * free_planar
 
@@ -376,5 +396,6 @@ solve_flat_group_kernel = jax.jit(
     static_argnames=(
         "n_coarse", "tol", "max_iters", "accept_tol", "restarts",
         "include_cell_fields", "band_hb", "band_block", "coarse_fused",
+        "coarse_blocked",
     ),
 )

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from fea_tpu.fem.coarse import (
     build_aggregates,
+    build_block_aggregates,
     build_coarse_matrix,
     coarse_apply,
     coarse_inverse,
@@ -65,6 +66,79 @@ def test_aggregates_ghosts_masked(mesh):
     np.testing.assert_array_equal(space.arms[ghosts], 0.0)
     # real aggregates' grid ignores the far-away ghosts: arms stay local
     assert np.abs(space.arms[: mesh.num_nodes]).max() < 0.5
+
+
+def test_block_aggregates_structure(mesh):
+    """Contiguous equal-size RCM blocks (the zero-gather coarse space
+    used by the banded datagen path, FEA_TPU_COARSE_BLOCK)."""
+    problem = StaticProblem(
+        coords=mesh.coords,
+        triangles=mesh.triangles,
+        young=np.full(mesh.num_triangles, 1.0),
+        poisson=np.full(mesh.num_triangles, 0.3),
+        fixed_nodes=np.zeros(mesh.num_nodes, bool),
+        loads=np.zeros((mesh.num_nodes, 2)),
+        num_steps=2,
+    ).padded(512, mesh.num_triangles + 64)
+    n_pad = len(problem.coords)
+    n_coarse = n_coarse_for_bucket(n_pad)
+    assert n_pad % n_coarse == 0
+    B = n_pad // n_coarse
+    space = build_block_aggregates(
+        problem.coords, n_coarse, n_real=problem.n_real
+    )
+    # the whole point: agg ids are a pure reshape pattern
+    np.testing.assert_array_equal(
+        space.agg_ids, np.arange(n_pad, dtype=np.int32) // B
+    )
+    # ghosts carry zero arms (they are Dirichlet-fixed padding)
+    np.testing.assert_array_equal(space.arms[problem.n_real :], 0.0)
+    # real members' arms sum to zero per block (centroid subtracted
+    # over real members only, so ghost-straddling blocks stay exact)
+    for a in range(n_coarse):
+        sel = space.agg_ids == a
+        sel[problem.n_real :] = False
+        if sel.any():
+            np.testing.assert_allclose(
+                space.arms[sel].sum(axis=0), 0.0, atol=1e-4
+            )
+    # every SHAPE_BUCKETS width divides its coarse size (the blocked
+    # path's build-time gate in datagen/batched.py relies on it)
+    from fea_tpu.datagen.pipeline import SHAPE_BUCKETS
+
+    for b in SHAPE_BUCKETS:
+        assert b % n_coarse_for_bucket(b) == 0, b
+
+
+def test_coarse_apply_flat_blocked_matches_segment():
+    """coarse_apply_flat(blocked=True) — reshape row-sums/broadcasts —
+    must equal the segment-op path given blocked aggregates, across a
+    2-plate flat group (plate p's aggregate ids offset by p*n_coarse
+    exactly as flatten_tables produces)."""
+    from fea_tpu.fem.flatgroup import coarse_apply_flat
+
+    rng = np.random.default_rng(7)
+    P, n_coarse, B = 2, 8, 16
+    Nb = n_coarse * B
+    n = P * Nb
+    agg = (np.arange(n) // B).astype(np.int32)
+    arms = rng.normal(size=(n, 2))
+    r = rng.normal(size=2 * n)
+    nc3 = 3 * n_coarse
+    A = rng.normal(size=(P, nc3, nc3))
+    Kc_inv = A @ np.transpose(A, (0, 2, 1))  # symmetric, like the real one
+
+    kw = dict(
+        Kc_inv=jnp.asarray(Kc_inv),
+        agg_ids=jnp.asarray(agg),
+        arms=jnp.asarray(arms),
+        r_planar=jnp.asarray(r),
+        P=P,
+        n_coarse=n_coarse,
+    )
+    z_seg = np.asarray(coarse_apply_flat(**kw))
+    z_blk = np.asarray(coarse_apply_flat(**kw, blocked=True))
+    np.testing.assert_allclose(z_blk, z_seg, rtol=1e-10, atol=1e-10)
 
 
 def test_two_level_preconditioner_is_spd(mesh):
