@@ -343,11 +343,16 @@ class PlateSolver:
         # Coarse rigid-body-mode space (condition-independent, per plate;
         # a pure function of node_bucket so grouped plates share shapes).
         self.n_coarse = n_coarse_for_bucket(self.node_bucket)
-        if (
+        # Recorded so dispatch_plate_group keys the kernel's blocked
+        # coarse-apply path off what was actually BUILT (never off the
+        # env alone — a build/dispatch disagreement would silently run
+        # reshape row-sums over geometric aggregate tables).
+        self.coarse_blocked = (
             _coarse_block()
             and self._perm is not None
             and self.node_bucket % self.n_coarse == 0
-        ):
+        )
+        if self.coarse_blocked:
             # RCM order on device -> contiguous blocks are BFS level-set
             # neighborhoods; the flat kernel's coarse apply then runs
             # scatter/gather-free (coarse_apply_flat blocked path).
@@ -601,9 +606,13 @@ def dispatch_plate_group(
             kwf = dict(
                 kwf,
                 band_block=_band_block(),
-                # blocked tables exist exactly when the solver was built
-                # banded (perm set <=> band_hb > 0) under the same env
-                coarse_blocked=_coarse_block(),
+                # Keyed off the tables the solvers actually built, not
+                # the env: mixing would run the reshape coarse apply
+                # over geometric aggregates (silently wrong corrections)
+                coarse_blocked=all(
+                    getattr(s, "coarse_blocked", False)
+                    for s, _ in payloads
+                ),
             )
         if sharding is None:
             return solve_flat_group_kernel(
